@@ -1,0 +1,619 @@
+"""Distributed Shepherd segmentation: per-tile kernels + strip-join
+stitch + connected-components relabel.
+
+Spark-first re-expression of the reference's tiled pipeline
+(/root/reference/pyshepseg/tiling.py:446-1064):
+
+  prepare   driver fits k-means once on a global stride sample and
+            broadcasts the centre matrix (cross-tile consistency
+            device, tiling.py:13-16)
+  doOne     per-tile segmentation, mapInPandas — one row per tile, no
+            shuffle, embarrassingly parallel (tiling.py worker loop)
+  stitch    the reference's sequential row-major recode
+            (tiling.py:950-1064) is replaced by an order-independent
+            equivalent: a bounded-neighbour equi-join of overlap
+            strips (each tile joins <= 2 predecessors, SURVEY.md J1),
+            per-pair mode-correspondence edges, and a label-
+            propagation connected-components fixpoint (J2) followed
+            by a deterministic dense relabel (W2). Same final pixel
+            partition, order-independent => parallel.
+
+Segment IDs: per-image int64 ("gid" = per-tile prefix-sum offset +
+local id). uint32 would overflow at 10^12-image scale (SURVEY.md §7
+hard part 4); global uniqueness is the composite (image_id, seg_id).
+
+Deliberate deviation (documented): the reference recodes a crossing
+segment to the mode of the neighbour's *already recoded* strip and so
+depends on stitch order; we compute modes on raw local labels and
+take the transitive closure. Results agree up to canonical relabel
+except in the pathological case where a neighbour's strip is majority
+null (reference recodes the segment to null; we keep it), which the
+fixture never produces and the empty-segment check (S10) would flag.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import MAX_CLUMP_SIZE
+from ..kernels.kmeans import fit_spectral_clusters_sample
+from ..kernels.shepherd import do_shepherd_segmentation
+from .tiling import (collect_sample, decode_tile_pixels, explode_tiles,
+                     stride_sample_pixels)
+
+
+@dataclass
+class SegConfig:
+    num_clusters: int = 60
+    min_segment_size: int = 50
+    max_spectral_diff: object = "auto"
+    img_null_val: int | None = None
+    four_connected: bool = True
+    fixed_kmeans_init: bool = True
+    spect_dist_pcntile: int = 50
+    max_clump_size: int = MAX_CLUMP_SIZE
+    tile_size: int = 256
+    overlap: int = 64
+    sample_target_pixels: int = 1_000_000
+
+
+SEG_TILE_SCHEMA = (
+    "image_id string, tcol int, trow int, ntcols int, ntrows int, "
+    "xpos int, ypos int, xsize int, ysize int, nbands int, "
+    "pixels binary, segtile binary, nseg int, anchored binary, "
+    "n_single_elim int, n_small_elim int, seg_secs double"
+)
+
+
+def fit_global_centres(images_df, cfg: SegConfig) -> np.ndarray:
+    """Prepare phase for the one-giant-raster scenario: deterministic
+    global stride sample -> driver Lloyd fit (reference
+    tiling.py:196-224). For a table of independent images use
+    :func:`fit_centres_per_image` instead."""
+    sample_df = stride_sample_pixels(
+        images_df, cfg.sample_target_pixels, cfg.img_null_val)
+    x = collect_sample(sample_df)
+    return fit_spectral_clusters_sample(
+        x, cfg.num_clusters, cfg.fixed_kmeans_init)
+
+
+CENTRES_SCHEMA = "image_id string, k int, nbands int, centres binary"
+
+
+def fit_centres_per_image(images_df, cfg: SegConfig):
+    """Per-image k-means fit (each table row is an independent raster,
+    so each gets its own deterministic clustering — the reference's
+    one-kmeans-per-raster rule applied row-wise). Runs as mapInPandas,
+    embarrassingly parallel, no driver bottleneck. If images_df has a
+    ``num_clusters`` column it overrides cfg.num_clusters per row.
+
+    Returns a small DataFrame (image_id, k, nbands, centres) meant to
+    be broadcast-joined onto the tiles table."""
+    from ..sources.codec import decode_image
+
+    cfg_b = cfg
+    has_k = "num_clusters" in images_df.columns
+    cols = ["image_id", "bytes", "w", "h", "fmt"] + (
+        ["num_clusters"] if has_k else [])
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                nbands = img.shape[0]
+                x = img.transpose(1, 2, 0).reshape(-1, nbands)
+                if cfg_b.img_null_val is not None:
+                    x = x[(x != cfg_b.img_null_val).all(axis=1)]
+                npix = x.shape[0]
+                skip = max(1, int(round(
+                    npix / float(min(cfg_b.sample_target_pixels,
+                                     npix)))))
+                x = x[::skip].astype(np.float64)
+                k = int(getattr(row, "num_clusters",
+                                cfg_b.num_clusters) or
+                        cfg_b.num_clusters)
+                centres = fit_spectral_clusters_sample(
+                    x, k, cfg_b.fixed_kmeans_init)
+                out.append({"image_id": row.image_id, "k": k,
+                            "nbands": nbands,
+                            "centres": centres.astype(
+                                "<f8").tobytes()})
+            yield pd.DataFrame(out, columns=["image_id", "k",
+                                             "nbands", "centres"])
+
+    return images_df.select(*cols).mapInPandas(kernel, CENTRES_SCHEMA)
+
+
+def _trim_bounds(tc, tr, ntc, ntr, xs, ys, margin):
+    """Per-tile trimmed-core bounds (reference tiling.py:996-1022)."""
+    top = 0 if tr == 0 else margin
+    left = 0 if tc == 0 else margin
+    bottom = ys if tr == ntr - 1 else ys - margin
+    right = xs if tc == ntc - 1 else xs - margin
+    return top, bottom, left, right
+
+
+def segment_tiles(tiles_df, centres, cfg: SegConfig):
+    """doOne phase: run the Shepherd kernel on every tile
+    (mapInPandas; no shuffle beyond the broadcast-join of the tiny
+    per-image centres table). Emits local uint32 seg ids, the list of
+    'anchored' local ids (segments whose bbox min lies in the trimmed
+    core — the reference's fresh-ID rule, tiling.py:1250-1267), and
+    per-tile metrics for the lineage table.
+
+    ``centres`` is either a numpy (k, nbands) matrix (shared across
+    all images — the giant-single-raster mode) or the per-image
+    centres DataFrame from :func:`fit_centres_per_image`."""
+    margin = cfg.overlap // 2
+    cfg_b = cfg
+    if isinstance(centres, np.ndarray):
+        shared = centres.astype("<f8").tobytes()
+        nb = centres.shape[1]
+        tiles_df = tiles_df.withColumn(
+            "centres", F.lit(bytearray(shared)))
+        _ = nb
+    else:
+        tiles_df = tiles_df.join(
+            F.broadcast(centres.select("image_id", "centres")),
+            "image_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                t0 = time.time()
+                c = np.frombuffer(row.centres, dtype="<f8").reshape(
+                    -1, row.nbands)
+                img = decode_tile_pixels(row.pixels, row.nbands,
+                                         row.ysize, row.xsize)
+                res = do_shepherd_segmentation(
+                    img,
+                    min_segment_size=cfg_b.min_segment_size,
+                    max_spectral_diff=cfg_b.max_spectral_diff,
+                    img_null_val=cfg_b.img_null_val,
+                    four_connected=cfg_b.four_connected,
+                    centres=c,
+                    spect_dist_pcntile=cfg_b.spect_dist_pcntile,
+                    max_clump_size=cfg_b.max_clump_size)
+                seg = res.segimg
+                nseg = int(seg.max())
+                top, bottom, left, right = _trim_bounds(
+                    row.tcol, row.trow, row.ntcols, row.ntrows,
+                    row.xsize, row.ysize, margin)
+                # per-segment bbox mins for the anchored rule
+                anchored = []
+                if nseg > 0:
+                    rr, cc2 = np.nonzero(seg)
+                    ids = seg[rr, cc2].astype(np.int64)
+                    minr = np.full(nseg + 1, 1 << 30, dtype=np.int64)
+                    minc = np.full(nseg + 1, 1 << 30, dtype=np.int64)
+                    np.minimum.at(minr, ids, rr)
+                    np.minimum.at(minc, ids, cc2)
+                    sel = np.arange(1, nseg + 1)
+                    ok = ((minc[sel] >= left) & (minr[sel] >= top)
+                          & (minc[sel] < right) & (minr[sel] < bottom))
+                    anchored = sel[ok]
+                out.append({
+                    "image_id": row.image_id,
+                    "tcol": row.tcol, "trow": row.trow,
+                    "ntcols": row.ntcols, "ntrows": row.ntrows,
+                    "xpos": row.xpos, "ypos": row.ypos,
+                    "xsize": row.xsize, "ysize": row.ysize,
+                    "nbands": row.nbands,
+                    "pixels": row.pixels,
+                    "segtile": seg.astype("<u4").tobytes(),
+                    "nseg": nseg,
+                    "anchored": np.asarray(anchored,
+                                           dtype="<i8").tobytes(),
+                    "n_single_elim": int(res.single_pixels_eliminated),
+                    "n_small_elim": int(res.small_segments_eliminated),
+                    "seg_secs": time.time() - t0,
+                })
+            yield pd.DataFrame(out, columns=[
+                "image_id", "tcol", "trow", "ntcols", "ntrows",
+                "xpos", "ypos", "xsize", "ysize", "nbands", "pixels",
+                "segtile", "nseg", "anchored", "n_single_elim",
+                "n_small_elim", "seg_secs"])
+
+    return tiles_df.mapInPandas(kernel, SEG_TILE_SCHEMA)
+
+
+def with_offsets(seg_tiles):
+    """Per-image prefix sum of local segment counts in row-major tile
+    order (W2: ordered window prefix sum replaces the reference's
+    running maxSegId, tiling.py:979-1043)."""
+    w = (Window.partitionBy("image_id").orderBy("trow", "tcol")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return seg_tiles.withColumn(
+        "offset", F.coalesce(F.sum("nseg").over(w), F.lit(0)))
+
+
+STRIP_SCHEMA = ("image_id string, axis string, ktc int, ktr int, "
+                "role string, srows int, scols int, strip binary")
+
+
+def extract_strips(seg_tiles_off, overlap: int):
+    """Boundary strips as gid (int64) arrays, keyed by the consumer
+    tile. Producer strips are the bottom/right overlap bands
+    (tiling.py:1037-1040); consumer strips are the top/left overlap
+    of each tile (tiling.py:1101-1102)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segtile, dtype="<u4").reshape(
+                    row.ysize, row.xsize).astype(np.int64)
+                gid = np.where(seg > 0, seg + row.offset, 0)
+
+                def emit(axis, ktc, ktr, role, arr):
+                    out.append({
+                        "image_id": row.image_id, "axis": axis,
+                        "ktc": int(ktc), "ktr": int(ktr), "role": role,
+                        "srows": arr.shape[0], "scols": arr.shape[1],
+                        "strip": arr.astype("<i8").tobytes()})
+
+                if row.trow > 0:
+                    emit("H", row.tcol, row.trow, "A", gid[:overlap, :])
+                if row.tcol > 0:
+                    emit("V", row.tcol, row.trow, "A", gid[:, :overlap])
+                if row.trow < row.ntrows - 1:
+                    emit("H", row.tcol, row.trow + 1, "B",
+                         gid[-overlap:, :])
+                if row.tcol < row.ntcols - 1:
+                    emit("V", row.tcol + 1, row.trow, "B",
+                         gid[:, -overlap:])
+            yield pd.DataFrame(out, columns=[
+                "image_id", "axis", "ktc", "ktr", "role", "srows",
+                "scols", "strip"])
+
+    cols = ["image_id", "tcol", "trow", "ntcols", "ntrows", "xsize",
+            "ysize", "segtile", "offset"]
+    return seg_tiles_off.select(*cols).mapInPandas(kernel, STRIP_SCHEMA)
+
+
+def correspondence_edges(strips):
+    """J1: bounded-neighbour equi-join of consumer (A) and producer
+    (B) strips on (image_id, axis, tile key), then a per-pair kernel
+    emitting (gid_a -> mode of B under footprint) for every A-segment
+    crossing the overlap midline (tiling.py:1128-1306)."""
+    a = strips.filter(F.col("role") == "A").select(
+        "image_id", "axis", "ktc", "ktr", "srows", "scols",
+        F.col("strip").alias("strip_a"))
+    b = strips.filter(F.col("role") == "B").select(
+        "image_id", "axis", "ktc", "ktr",
+        F.col("strip").alias("strip_b"))
+    pairs = a.join(b, ["image_id", "axis", "ktc", "ktr"])
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                sa = np.frombuffer(row.strip_a, dtype="<i8").reshape(
+                    row.srows, row.scols)
+                sb = np.frombuffer(row.strip_b, dtype="<i8").reshape(
+                    row.srows, row.scols)
+                n = 0 if row.axis == "H" else 1
+                mid = sa.shape[n] // 2
+                flat = sa.ravel()
+                order = np.argsort(flat, kind="stable")
+                svals = flat[order]
+                bounds = np.flatnonzero(np.diff(svals)) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [len(svals)]])
+                coords = (order // sa.shape[1] if n == 0
+                          else order % sa.shape[1])
+                fb = sb.ravel()
+                for s, e in zip(starts, ends):
+                    gid = int(svals[s])
+                    if gid == 0:
+                        continue
+                    cs = coords[s:e]
+                    if not (cs.min() < mid <= cs.max()):
+                        continue
+                    vals, cnts = np.unique(fb[order[s:e]],
+                                           return_counts=True)
+                    mode = int(vals[np.argmax(cnts)])
+                    if mode != 0:
+                        rows.append({"image_id": row.image_id,
+                                     "a": gid, "b": mode})
+            yield pd.DataFrame(rows, columns=["image_id", "a", "b"])
+
+    return pairs.mapInPandas(kernel, "image_id string, a long, b long")
+
+
+def connected_components(edges, max_rounds=64):
+    """J2: label-propagation fixpoint over the correspondence edge
+    list (min-label), replacing the reference's order-dependent
+    sequential recode chain with an order-independent closure.
+    Returns (image_id, v, root). localCheckpoint between rounds cuts
+    lineage (SURVEY.md §7 hard part 5)."""
+    sym = (edges.select("image_id", F.col("a").alias("v"),
+                        F.col("b").alias("n"))
+           .union(edges.select("image_id", F.col("b").alias("v"),
+                               F.col("a").alias("n"))))
+    sym = sym.distinct().localCheckpoint()
+    labels = (sym.select(F.col("image_id").alias("l_img"),
+                         F.col("v").alias("l_v"))
+              .distinct()
+              .withColumn("root", F.col("l_v"))
+              .localCheckpoint())
+    for _ in range(max_rounds):
+        nbr = labels.select(F.col("l_img").alias("n_img"),
+                            F.col("l_v").alias("n_v"),
+                            F.col("root").alias("n_root"))
+        cand = (sym.join(nbr, (sym.image_id == nbr.n_img)
+                         & (sym.n == nbr.n_v))
+                .groupBy(sym.image_id, sym.v)
+                .agg(F.min("n_root").alias("cand"))
+                .select(F.col("image_id").alias("c_img"),
+                        F.col("v").alias("c_v"), "cand"))
+        new = labels.join(cand, (labels.l_img == cand.c_img)
+                          & (labels.l_v == cand.c_v), "left")
+        changed = new.filter(
+            F.coalesce(F.col("cand"), F.col("root"))
+            < F.col("root")).count()
+        labels = (new.select(
+            "l_img", "l_v",
+            F.least(F.col("root"),
+                    F.coalesce(F.col("cand"),
+                               F.col("root"))).alias("root"))
+            .localCheckpoint())
+        if changed == 0:
+            break
+    return labels.select(F.col("l_img").alias("image_id"),
+                         F.col("l_v").alias("v"), "root")
+
+
+def build_mapping(seg_tiles_off, cc_labels):
+    """gid -> final dense per-image segment id.
+
+    Final IDs are 1..N per image, dense-ranked over the CC roots of
+    *anchored* segments (the reference's fresh-ID rule means exactly
+    the anchored segments receive identity; W1/W2 dense relabel).
+    """
+    anchored = seg_tiles_off.select(
+        "image_id", "offset",
+        F.explode(_anchored_array(F.col("anchored"))).alias("local"))
+    anchored = anchored.select(
+        "image_id", (F.col("local") + F.col("offset")).alias("gid"))
+    roots = (anchored.join(cc_labels,
+                           (anchored.image_id == cc_labels.image_id)
+                           & (anchored.gid == cc_labels.v), "left")
+             .select(anchored.image_id.alias("image_id"), "gid",
+                     F.coalesce(F.col("root"),
+                                F.col("gid")).alias("root")))
+    w = Window.partitionBy("image_id").orderBy("root")
+    dense = (roots.select("image_id", "root").distinct()
+             .withColumn("final", F.row_number().over(w)))
+
+    allg = seg_tiles_off.select(
+        "image_id", "offset", "nseg").filter(F.col("nseg") > 0).select(
+        "image_id",
+        F.explode(F.sequence(F.col("offset") + 1,
+                             F.col("offset") + F.col("nseg"))).alias("gid"))
+    gl = (allg.join(cc_labels,
+                    (allg.image_id == cc_labels.image_id)
+                    & (allg.gid == cc_labels.v), "left")
+          .select(allg.image_id.alias("image_id"), "gid",
+                  F.coalesce(F.col("root"), F.col("gid")).alias("root")))
+    mapping = (gl.join(dense, ["image_id", "root"], "left")
+               .select("image_id", "gid",
+                       F.coalesce(F.col("final"),
+                                  F.lit(0)).alias("final")))
+    return mapping
+
+
+def _anchored_array(col):
+    """binary little-endian int64 array column -> array<long>."""
+    # Spark has no direct binary->array<long> cast; decode via an
+    # inline pandas UDF would force a kernel, so we use the compact
+    # trick: the anchored list is small, stored as int64 bytes.
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def decode(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: [] if x is None
+                     else np.frombuffer(x, dtype="<i8").tolist())
+
+    return decode(col)
+
+
+FINAL_TILE_SCHEMA = (
+    "image_id string, tcol int, trow int, xout int, yout int, "
+    "out_xsize int, out_ysize int, nbands int, pixels binary, "
+    "segdata binary, max_final long"
+)
+
+
+def paint_final_tiles(seg_tiles_off, mapping, overlap: int):
+    """Apply gid->final mapping to each tile and trim to its core
+    (margin = overlap/2, mosaic edges untrimmed; tiling.py:959,
+    996-1022).
+
+    Scale note: rather than cogrouping whole images (a fat group for
+    a giant mosaic), each tile's gid range joins the mapping table on
+    (image_id, gid) and only its own ~nseg mapping rows are shipped
+    into the paint kernel — the shuffle is proportional to segment
+    count, never pixel count."""
+    margin = overlap // 2
+    keys = ["image_id", "tcol", "trow"]
+    tg = (seg_tiles_off.filter(F.col("nseg") > 0)
+          .select(*keys, F.explode(
+              F.sequence(F.col("offset") + 1,
+                         F.col("offset") + F.col("nseg"))).alias("gid")))
+    tm = (tg.join(mapping, ["image_id", "gid"])
+          .groupBy(*keys)
+          .agg(F.collect_list(F.struct("gid", "final")).alias("gf")))
+    joined = seg_tiles_off.join(tm, keys, "left")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segtile, dtype="<u4").reshape(
+                    row.ysize, row.xsize).astype(np.int64)
+                gid = np.where(seg > 0, seg + row.offset, 0)
+                top, bottom, left, right = _trim_bounds(
+                    row.tcol, row.trow, row.ntcols, row.ntrows,
+                    row.xsize, row.ysize, margin)
+                core = gid[top:bottom, left:right]
+                lut = {}
+                if row.gf is not None:
+                    for item in row.gf:
+                        lut[int(item["gid"])] = int(item["final"])
+                u, inv = np.unique(core, return_inverse=True)
+                mapped = np.fromiter(
+                    (0 if g == 0 else lut.get(int(g), 0) for g in u),
+                    dtype=np.int64, count=len(u))
+                final = mapped[inv].reshape(core.shape)
+                pix = decode_tile_pixels(row.pixels, row.nbands,
+                                         row.ysize, row.xsize)
+                pix_core = pix[:, top:bottom, left:right]
+                out.append({
+                    "image_id": row.image_id,
+                    "tcol": row.tcol, "trow": row.trow,
+                    "xout": row.xpos + left, "yout": row.ypos + top,
+                    "out_xsize": right - left,
+                    "out_ysize": bottom - top,
+                    "nbands": row.nbands,
+                    "pixels": np.ascontiguousarray(
+                        pix_core.astype("<u2")).tobytes(),
+                    "segdata": final.astype("<i8").tobytes(),
+                    "max_final": int(final.max()) if final.size else 0,
+                })
+            yield pd.DataFrame(out, columns=[
+                "image_id", "tcol", "trow", "xout", "yout",
+                "out_xsize", "out_ysize", "nbands", "pixels",
+                "segdata", "max_final"])
+
+    return joined.mapInPandas(kernel, FINAL_TILE_SCHEMA)
+
+
+def segment_images_tiled(images_df, cfg: SegConfig, centres=None):
+    """Full pipeline: images -> final stitched seg tiles.
+
+    Returns (final_tiles_df, seg_tiles_df, centres). seg_tiles_df is
+    the checkpointable intermediate (S6) carrying per-tile lineage
+    metrics. By default each image gets its own deterministic k-means
+    fit; pass a shared (k, nbands) matrix for the giant-single-raster
+    mode.
+    """
+    if centres is None:
+        centres = fit_centres_per_image(images_df, cfg)
+    tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
+    seg_tiles = segment_tiles(tiles, centres, cfg)
+    final = stitch(seg_tiles, cfg)
+    return final, seg_tiles, centres
+
+
+def stitch(seg_tiles, cfg: SegConfig):
+    """Stitch phase on a (possibly checkpoint-restored) seg_tiles."""
+    st = with_offsets(seg_tiles)
+    strips = extract_strips(st, cfg.overlap)
+    edges = correspondence_edges(strips)
+    cc = connected_components(edges)
+    mapping = build_mapping(st, cc)
+    return paint_final_tiles(st, mapping, cfg.overlap)
+
+
+# ---------------------------------------------------------------------------
+# whole-image fast path (the 10^12-image flagship: one tile per image)
+# ---------------------------------------------------------------------------
+
+SEG_IMAGE_SCHEMA = (
+    "image_id string, w int, h int, nbands int, nseg long, "
+    "segdata binary, n_single_elim int, n_small_elim int, "
+    "seg_secs double"
+)
+
+
+def segment_images(images_df, cfg: SegConfig, centres=None):
+    """Segment each image as a single tile (mapInPandas, zero
+    shuffle). The common path when individual images fit a worker —
+    at 10^12-image scale parallelism comes from the image count, and
+    tiling is reserved for oversized rasters.
+
+    centres: None (fit per image inside the kernel — fully fused, one
+    pass over the data), a shared numpy matrix, or a per-image
+    centres DataFrame to broadcast-join."""
+    cfg_b = cfg
+    shared = centres if isinstance(centres, np.ndarray) else None
+    has_k = "num_clusters" in images_df.columns
+    cols = ["image_id", "bytes", "w", "h", "fmt"] + (
+        ["num_clusters"] if has_k else [])
+    df = images_df.select(*cols)
+    if centres is not None and not isinstance(centres, np.ndarray):
+        df = df.join(F.broadcast(centres.select("image_id", "centres")),
+                     "image_id")
+
+    def kernel(batches):
+        from ..sources.codec import decode_image
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                t0 = time.time()
+                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                if shared is not None:
+                    c = shared
+                elif hasattr(row, "centres"):
+                    c = np.frombuffer(row.centres,
+                                      dtype="<f8").reshape(
+                        -1, img.shape[0])
+                else:
+                    c = None
+                res = do_shepherd_segmentation(
+                    img,
+                    num_clusters=int(getattr(row, "num_clusters",
+                                             cfg_b.num_clusters)
+                                     or cfg_b.num_clusters),
+                    cluster_subsample_pcnt=1,
+                    min_segment_size=cfg_b.min_segment_size,
+                    max_spectral_diff=cfg_b.max_spectral_diff,
+                    img_null_val=cfg_b.img_null_val,
+                    four_connected=cfg_b.four_connected,
+                    fixed_kmeans_init=cfg_b.fixed_kmeans_init,
+                    centres=c,
+                    spect_dist_pcntile=cfg_b.spect_dist_pcntile,
+                    max_clump_size=cfg_b.max_clump_size)
+                seg = res.segimg.astype("<i8")
+                out.append({
+                    "image_id": row.image_id,
+                    "w": row.w, "h": row.h, "nbands": img.shape[0],
+                    "nseg": int(seg.max()),
+                    "segdata": seg.tobytes(),
+                    "n_single_elim": int(res.single_pixels_eliminated),
+                    "n_small_elim": int(res.small_segments_eliminated),
+                    "seg_secs": time.time() - t0,
+                })
+            yield pd.DataFrame(out, columns=[
+                "image_id", "w", "h", "nbands", "nseg", "segdata",
+                "n_single_elim", "n_small_elim", "seg_secs"])
+
+    return df.mapInPandas(kernel, SEG_IMAGE_SCHEMA)
+
+
+def assemble_image(final_tiles_pdf: pd.DataFrame, w: int, h: int):
+    """Driver/test helper: paste trimmed tiles into a full (h, w)
+    int64 raster (the trimmed cores tile the mosaic disjointly)."""
+    out = np.zeros((h, w), dtype=np.int64)
+    for row in final_tiles_pdf.itertuples(index=False):
+        arr = np.frombuffer(row.segdata, dtype="<i8").reshape(
+            row.out_ysize, row.out_xsize)
+        out[row.yout:row.yout + row.out_ysize,
+            row.xout:row.xout + row.out_xsize] = arr
+    return out
+
+
+__all__ = ["SegConfig", "fit_global_centres", "segment_tiles",
+           "with_offsets", "extract_strips", "correspondence_edges",
+           "connected_components", "build_mapping",
+           "paint_final_tiles", "segment_images_tiled", "stitch",
+           "segment_images", "assemble_image", "DataFrame"]

@@ -1,0 +1,188 @@
+"""Tile-grid generation and tile explosion.
+
+Reimplements the reference's overlapping tile grid
+(/root/reference/pyshepseg/tiling.py:376-443 getTilesForFile): step =
+tileSize - overlapSize, and the last tile in each direction grows to
+the raster edge ("no slivers": whenever another full tile would not
+fit, the current tile absorbs the remainder).
+
+Spark form (SURVEY.md §2.1 S5): the grid is a pure function of
+(w, h, tileSize, overlap); tiles are exploded from image rows with
+``mapInPandas`` so the decode + slice runs vectorized on executors and
+the result is one DataFrame row per tile — embarrassingly parallel
+downstream, no shuffle introduced.
+
+Each tile also gets a Morton (Z-order) cell key at a fixed resolution,
+the engine's H3/S2-analogue spatial index for in-image spatial joins
+(BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+
+from ..sources.codec import decode_image, encode_raw_u16
+
+TILE_SCHEMA = (
+    "image_id string, tcol int, trow int, ntcols int, ntrows int, "
+    "xpos int, ypos int, xsize int, ysize int, nbands int, "
+    "cell long, pixels binary"
+)
+
+
+def tile_grid(w: int, h: int, tile_size: int, overlap: int):
+    """List of (tcol, trow, xpos, ypos, xsize, ysize) covering an
+    w x h raster, matching reference tiling.py:376-443 exactly."""
+    tiles = []
+    step = tile_size - overlap
+    ypos, trow = 0, 0
+    y_done = False
+    while not y_done:
+        ysize = tile_size
+        if ypos + ysize * 2 > h:
+            ysize = h - ypos
+            y_done = True
+            if ysize == 0:
+                break
+        xpos, tcol = 0, 0
+        x_done = False
+        while not x_done:
+            xsize = tile_size
+            if xpos + xsize * 2 > w:
+                xsize = w - xpos
+                x_done = True
+                if xsize == 0:
+                    break
+            tiles.append((tcol, trow, xpos, ypos, xsize, ysize))
+            xpos += step
+            tcol += 1
+        ypos += step
+        trow += 1
+    ntcols = max(t[0] for t in tiles) + 1
+    ntrows = max(t[1] for t in tiles) + 1
+    return tiles, ntcols, ntrows
+
+
+def morton_cell(x: int, y: int, bits: int = 16) -> int:
+    """Interleave x/y bits -> Z-order cell id (spatial index key)."""
+    v = 0
+    for i in range(bits):
+        v |= ((x >> i) & 1) << (2 * i)
+        v |= ((y >> i) & 1) << (2 * i + 1)
+    return v
+
+
+def explode_tiles(images_df, tile_size: int, overlap: int,
+                  cell_shift: int = 8):
+    """images DataFrame -> tiles DataFrame (one row per overlapping
+    tile, pixels re-encoded raw_u16). Runs as mapInPandas: narrow,
+    no shuffle; Catalyst prunes unused image columns upstream."""
+    if overlap % 2 != 0:
+        raise ValueError("overlap size must be even")  # tiling.py:746
+    if tile_size <= 2 * overlap:
+        raise ValueError("tile_size must exceed 2*overlap")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                nbands = img.shape[0]
+                tiles, ntcols, ntrows = tile_grid(
+                    row.w, row.h, tile_size, overlap)
+                for (tc, tr, xp, yp, xs, ys) in tiles:
+                    sub = img[:, yp:yp + ys, xp:xp + xs]
+                    out.append({
+                        "image_id": row.image_id,
+                        "tcol": tc, "trow": tr,
+                        "ntcols": ntcols, "ntrows": ntrows,
+                        "xpos": xp, "ypos": yp,
+                        "xsize": xs, "ysize": ys,
+                        "nbands": nbands,
+                        "cell": morton_cell(xp >> cell_shift,
+                                            yp >> cell_shift),
+                        "pixels": encode_raw_u16(sub),
+                    })
+            yield pd.DataFrame(out, columns=[
+                "image_id", "tcol", "trow", "ntcols", "ntrows",
+                "xpos", "ypos", "xsize", "ysize", "nbands", "cell",
+                "pixels"])
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images_df.select(*cols).mapInPandas(kernel, TILE_SCHEMA)
+
+
+def decode_tile_pixels(pixels: bytes, nbands: int, ysize: int,
+                       xsize: int) -> np.ndarray:
+    return np.frombuffer(pixels, dtype="<u2").reshape(
+        nbands, ysize, xsize).astype(np.uint16)
+
+
+def stride_sample_pixels(images_df, target_pixels: int = 1_000_000,
+                         img_null_val: int | None = None):
+    """Global k-means sample (reference tiling.py:196-224
+    fitSpectralClustersWholeFile): read every k-th non-null pixel of
+    every image so the total sample is ~target_pixels, deterministic
+    stride (no RNG). Returns a DataFrame with one row per image of
+    packed float32 sample bytes (compact collect to the driver).
+    """
+    from pyspark.sql import functions as F
+
+    total = images_df.select(
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("n")
+    ).collect()[0]["n"]
+    skip = max(1, int(round(total / float(target_pixels))))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                nbands = img.shape[0]
+                x = img.transpose(1, 2, 0).reshape(-1, nbands)
+                if img_null_val is not None:
+                    x = x[(x != img_null_val).all(axis=1)]
+                x = x[::skip]
+                out.append({"sample": x.astype(np.float32).tobytes(),
+                            "nbands": nbands})
+            yield pd.DataFrame(out, columns=["sample", "nbands"])
+
+    return images_df.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(kernel, "sample binary, nbands int")
+
+
+def collect_sample(sample_df) -> np.ndarray:
+    """Driver-side concat of the packed stride sample."""
+    rows = sample_df.collect()
+    if not rows:
+        raise ValueError("no images to sample")
+    nbands = rows[0]["nbands"]
+    parts = [np.frombuffer(r["sample"], dtype=np.float32).reshape(
+        -1, nbands) for r in rows]
+    return np.concatenate(parts, axis=0)
+
+
+def tile_metrics(seg_tiles_df):
+    """Per-partition lineage/metrics rollup (north rule): per-tile
+    kernel timings and segment counts aggregated per image."""
+    from pyspark.sql import functions as F
+
+    return (seg_tiles_df
+            .groupBy("image_id")
+            .agg(F.count("*").alias("n_tiles"),
+                 F.sum("nseg").alias("n_local_segments"),
+                 F.sum("n_single_elim").alias("n_single_elim"),
+                 F.sum("n_small_elim").alias("n_small_elim"),
+                 F.sum("seg_secs").alias("kernel_secs"),
+                 F.max("seg_secs").alias("max_tile_secs")))
+
+
+__all__ = ["tile_grid", "explode_tiles", "decode_tile_pixels",
+           "stride_sample_pixels", "collect_sample", "morton_cell",
+           "tile_metrics", "TILE_SCHEMA"]
+
+
+_ = time  # noqa: retained for kernels that time per-tile work

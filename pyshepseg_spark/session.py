@@ -1,0 +1,43 @@
+"""SparkSession builder with engine defaults.
+
+Scale-minded defaults: AQE on (runtime re-plan + skew-join splitting,
+SURVEY.md §4 skew row), Arrow enabled for every pandas UDF boundary,
+shuffle partitions sized for the local test harness but overridable
+for cluster runs (set spark.sql.shuffle.partitions ~ 2-3x total cores
+on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pyshepseg_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    b = (SparkSession.builder
+         .appName(app_name)
+         .master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+         .config("spark.serializer",
+                 "org.apache.spark.serializer.KryoSerializer")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.sql.parquet.compression.codec", "zstd")
+         .config("spark.ui.showConsoleProgress", "false"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,165 @@
+"""Spatial-join layer: cell index, point-in-segment join, kNN.
+
+North-star extensions (BASELINE.json north_star; no reference
+analogue — SURVEY.md J5): on top of the tile/segment layer the engine
+answers
+
+  - point-in-segment ("point-in-polygon" against the segment
+    partition, which *is* a polygonal partition of the image): an
+    equi-join of each point to the unique trimmed tile containing it
+    (computed by grid arithmetic — no range join, no skew) followed
+    by a vectorized raster-probe kernel.
+  - kNN segment lookups: points join segment centroids through a
+    Morton cell grid with ring expansion, then a row_number window
+    keeps the k nearest. Salting/AQE note: candidate lists are
+    bounded by cell occupancy; hot cells split by AQE skew join.
+
+Cells are Z-order (Morton) keys — the engine's H3/S2 analogue for
+per-image pixel space (public bit-interleaving technique).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def cell_expr(xcol, ycol, shift: int = 6, bits: int = 12):
+    """Morton cell id of a point at resolution 2^shift px, as a pure
+    column expression (JVM-side, no UDF)."""
+    x = (F.col(xcol).cast("long") / (1 << shift)).cast("long")
+    y = (F.col(ycol).cast("long") / (1 << shift)).cast("long")
+    cell = F.lit(0).cast("long")
+    for i in range(bits):
+        cell = cell.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i) % 2, 2 * i).cast("long")
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1).cast("long"))
+    return cell
+
+
+def tile_for_point(xcol, ycol, tile_size, overlap, ntc, ntr):
+    """(tcol, trow) of the trimmed tile containing a pixel — closed
+    form from the grid parameters, so point->tile is an equi-join."""
+    step = tile_size - overlap
+    margin = overlap // 2
+    tc = F.floor((F.col(xcol) - F.lit(margin)) / F.lit(step))
+    tr = F.floor((F.col(ycol) - F.lit(margin)) / F.lit(step))
+    tc = F.greatest(F.lit(0), F.least(tc, ntc - F.lit(1)))
+    tr = F.greatest(F.lit(0), F.least(tr, ntr - F.lit(1)))
+    return tc.cast("int"), tr.cast("int")
+
+
+def point_in_segment(points, final_tiles, tile_size, overlap):
+    """Join each point (image_id, x, y, ...) to the segment covering
+    it. Steps: grid arithmetic -> equi-join on (image_id, tcol, trow)
+    -> per-tile vectorized probe. The join is bounded (each point
+    matches exactly one tile); per-image skew is handled by AQE."""
+    grids = final_tiles.groupBy("image_id").agg(
+        (F.max("tcol") + 1).alias("ntc"),
+        (F.max("trow") + 1).alias("ntr"))
+    p = points.join(F.broadcast(grids), "image_id")
+    tc, tr = tile_for_point("x", "y", tile_size, overlap,
+                            F.col("ntc"), F.col("ntr"))
+    p = p.withColumn("tcol", tc).withColumn("trow", tr)
+    t = final_tiles.select("image_id", "tcol", "trow", "xout", "yout",
+                           "out_xsize", "out_ysize", "segdata")
+    j = p.join(t, ["image_id", "tcol", "trow"])
+
+    out_schema = ("image_id string, point_id long, x double, "
+                  "y double, seg_id long")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["image_id", "point_id", "x",
+                                         "y", "seg_id"])
+        first = pdf.iloc[0]
+        seg = np.frombuffer(first["segdata"], dtype="<i8").reshape(
+            first["out_ysize"], first["out_xsize"])
+        xs = pdf["x"].to_numpy(np.float64)
+        ys = pdf["y"].to_numpy(np.float64)
+        ix = np.clip(xs.astype(np.int64) - int(first["xout"]), 0,
+                     seg.shape[1] - 1)
+        iy = np.clip(ys.astype(np.int64) - int(first["yout"]), 0,
+                     seg.shape[0] - 1)
+        return pd.DataFrame({
+            "image_id": pdf["image_id"],
+            "point_id": pdf["point_id"],
+            "x": xs, "y": ys,
+            "seg_id": seg[iy, ix]})
+
+    return (j.groupBy("image_id", "tcol", "trow")
+            .applyInPandas(kernel, out_schema))
+
+
+def segment_centroids(pixels):
+    """Per-segment centroid + pixel count from the long pixel table
+    (pure aggregation)."""
+    return (pixels.groupBy("image_id", "seg_id")
+            .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"),
+                 F.count("*").alias("npix")))
+
+
+def _neighbour_cells(cell_col, ring: int, shift: int, bits: int):
+    """Explode a centroid row into its (2*ring+1)^2 neighbourhood of
+    cells (cell-ring expansion for the kNN candidate join)."""
+    # decode x/y from morton then re-encode neighbours; done as a
+    # pandas UDF once per centroid row (tiny table), keeping the big
+    # point side pure-SQL.
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def nbrs(c: pd.Series) -> pd.Series:
+        def decode(v):
+            x = y = 0
+            for i in range(bits):
+                x |= ((v >> (2 * i)) & 1) << i
+                y |= ((v >> (2 * i + 1)) & 1) << i
+            return x, y
+
+        def encode(x, y):
+            v = 0
+            for i in range(bits):
+                v |= ((x >> i) & 1) << (2 * i)
+                v |= ((y >> i) & 1) << (2 * i + 1)
+            return v
+
+        out = []
+        for v in c:
+            x, y = decode(int(v))
+            cells = []
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    nx, ny = x + dx, y + dy
+                    if nx >= 0 and ny >= 0:
+                        cells.append(encode(nx, ny))
+            out.append(cells)
+        return pd.Series(out)
+
+    return nbrs(cell_col)
+
+
+def knn_segments(points, centroids, k: int = 3, ring: int = 2,
+                 shift: int = 6, bits: int = 12):
+    """k nearest segment centroids per point: cell-ring candidate
+    equi-join + row_number window (SURVEY.md J5). Points whose ring
+    holds fewer than k centroids get fewer rows (callers widen the
+    ring if exactness at the tail matters)."""
+    c = centroids.withColumn("cell", cell_expr("cx", "cy", shift, bits))
+    c = c.withColumn("cells", _neighbour_cells(
+        F.col("cell"), ring, shift, bits))
+    c = c.select("image_id", "seg_id", "cx", "cy",
+                 F.explode("cells").alias("cell"))
+    p = points.withColumn("cell", cell_expr("x", "y", shift, bits))
+    cand = p.join(c, ["image_id", "cell"])
+    d2 = (F.pow(F.col("x") - F.col("cx"), 2)
+          + F.pow(F.col("y") - F.col("cy"), 2))
+    cand = cand.withColumn("dist", F.sqrt(d2))
+    w = Window.partitionBy("image_id", "point_id") \
+        .orderBy(F.col("dist").asc(), F.col("seg_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("image_id", "point_id", "x", "y", "seg_id",
+                    "dist", "rank"))

@@ -1,0 +1,230 @@
+"""Zonal (per-segment) statistics — the tilingstats layer.
+
+Spark-first rebuild of /root/reference/pyshepseg/tilingstats.py: the
+reference's whole accumulate/complete/evict state machine
+(tilingstats.py:466-617) collapses into a two-stage aggregation:
+
+  1. per-tile kernels emit *partial value histograms*
+     (image_id, seg_id, band, val, cnt) — the reference's
+     seg -> {pixval -> count} dict (A3, tilingstats.py:466-515),
+     computed vectorized. Partial agg inside the kernel = map-side
+     combine; pixel rows are never materialized.
+  2. groupBy(image_id, seg_id, band, val).sum(cnt) merges partials,
+     then exact finalizers (A5, tilingstats.py:922-1008) derive
+     min/max/mean/stddev/mode/median/percentile/pixcount from the
+     histogram — *exact*, not percentile_approx, matching the
+     reference bitwise for integer imagery.
+
+Nodata pixels are excluded from the value histogram but counted apart
+(A4, tilingstats.py:640-653); a segment with no valid pixels reports
+missingStatsValue (tilingstats.py:943-950).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..constants import MISSING_STATS_VALUE
+
+HIST_SCHEMA = ("image_id string, seg_id long, band int, val long, "
+               "cnt long")
+
+
+def tile_value_histogram(final_tiles, img_null_val: int | None = None):
+    """Stage 1: per-tile partial (seg, band, value) histograms from
+    the stitched tiles (segdata int64 + trimmed pixels). mapInPandas;
+    the only shuffle is the later merge groupBy."""
+
+    def kernel(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segdata, dtype="<i8").reshape(
+                    row.out_ysize, row.out_xsize)
+                pix = np.frombuffer(row.pixels, dtype="<u2").reshape(
+                    row.nbands, row.out_ysize, row.out_xsize)
+                segf = seg.ravel()
+                valid = segf > 0
+                for b in range(row.nbands):
+                    v = pix[b].ravel().astype(np.int64)
+                    m = valid
+                    if img_null_val is not None:
+                        m = m & (v != img_null_val)
+                    if not m.any():
+                        continue
+                    key = segf[m] << np.int64(17)  # 17 bits > uint16
+                    key = key | v[m]
+                    uk, cnt = np.unique(key, return_counts=True)
+                    frames.append(pd.DataFrame({
+                        "image_id": row.image_id,
+                        "seg_id": uk >> 17,
+                        "band": b,
+                        "val": uk & ((1 << 17) - 1),
+                        "cnt": cnt}))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame(columns=[
+                       "image_id", "seg_id", "band", "val", "cnt"]))
+
+    cols = ["image_id", "out_xsize", "out_ysize", "nbands", "pixels",
+            "segdata"]
+    part = final_tiles.select(*cols).mapInPandas(kernel, HIST_SCHEMA)
+    return (part.groupBy("image_id", "seg_id", "band", "val")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def seg_image_value_histogram(seg_images, images_df,
+                              img_null_val: int | None = None):
+    """Stage-1 variant for the whole-image path: join seg rasters
+    back to image bytes and histogram in one kernel."""
+    j = seg_images.select("image_id", "w", "h", "nbands", "segdata") \
+        .join(images_df.select("image_id", "bytes", "fmt"), "image_id")
+
+    def kernel(batches):
+        from ..sources.codec import decode_image
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segdata, dtype="<i8")
+                pix = decode_image(row.bytes, row.fmt, row.w, row.h)
+                valid = seg > 0
+                for b in range(row.nbands):
+                    v = pix[b].ravel().astype(np.int64)
+                    m = valid
+                    if img_null_val is not None:
+                        m = m & (v != img_null_val)
+                    if not m.any():
+                        continue
+                    key = (seg[m] << np.int64(17)) | v[m]
+                    uk, cnt = np.unique(key, return_counts=True)
+                    frames.append(pd.DataFrame({
+                        "image_id": row.image_id,
+                        "seg_id": uk >> 17,
+                        "band": b,
+                        "val": uk & ((1 << 17) - 1),
+                        "cnt": cnt}))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame(columns=[
+                       "image_id", "seg_id", "band", "val", "cnt"]))
+
+    part = j.mapInPandas(kernel, HIST_SCHEMA)
+    return (part.groupBy("image_id", "seg_id", "band", "val")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def segment_stats(hist, percentiles=(50,)):
+    """Stage 2: exact stat finalizers over the value histogram.
+
+    Matches SegmentStats (tilingstats.py:922-1008):
+      min/max       — extreme values present
+      mean          — sum(v*c)/n
+      stddev        — population: sqrt(sum(c*(v-mean)^2)/n)
+      mode          — value with max count, ties -> smallest value
+                      (argmax over value-sorted arrays)
+      percentile p  — first value (ascending) whose cumulative count
+                      >= n*p/100 (exact; the reference's
+                      cumulative-count walk, tilingstats.py:969-986)
+      pixcount      — n
+    All derived with built-in JVM aggregations (max_by, windows) —
+    no UDFs in this stage.
+    """
+    g = ["image_id", "seg_id", "band"]
+    base = (hist.groupBy(*g).agg(
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum("cnt").alias("pix_count"),
+        (F.sum(F.col("val") * F.col("cnt"))
+         / F.sum("cnt")).alias("mean_val"),
+        F.max_by("val", F.struct(F.col("cnt"),
+                                 (-F.col("val")).alias("nv")))
+        .alias("mode_val")))
+    # population stddev from the histogram (second pass avoids
+    # catastrophic cancellation of E[x^2]-E[x]^2 for large values)
+    withmean = hist.join(base.select(*g, "mean_val"), g)
+    sd = (withmean.groupBy(*g)
+          .agg(F.sqrt(F.sum(F.col("cnt")
+                            * F.pow(F.col("val") - F.col("mean_val"), 2))
+                      / F.sum("cnt")).alias("stddev_val")))
+    out = base.join(sd, g)
+
+    # exact percentiles via cumulative-count window over value order
+    w = Window.partitionBy(*g).orderBy("val") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)) \
+              .join(base.select(*g, "pix_count"), g)
+    for p in percentiles:
+        col = f"p{p:02d}_val"
+        sel = (cum.filter(
+            F.col("cum") >= F.col("pix_count") * F.lit(p) / F.lit(100))
+            .groupBy(*g).agg(F.min("val").alias(col)))
+        out = out.join(sel, g, "left")
+    if 50 in percentiles:
+        out = out.withColumn("median_val", F.col("p50_val"))
+    return out
+
+
+def global_stats_from_histogram(seg_sizes):
+    """A7 (utils.py:47-95): whole-raster stats of the segment-ID
+    image derived from the segment-size histogram: one agg."""
+    return (seg_sizes.groupBy("image_id").agg(
+        F.min("seg_id").alias("min_seg"),
+        F.max("seg_id").alias("max_seg"),
+        (F.sum(F.col("seg_id") * F.col("cnt"))
+         / F.sum("cnt")).alias("mean_seg"),
+        F.max_by("seg_id", F.struct(F.col("cnt"),
+                                    (-F.col("seg_id")).alias("nv")))
+        .alias("mode_seg"),
+        F.sum("cnt").alias("pix_count")))
+
+
+def segment_sizes(final_tiles):
+    """A1: segment-size histogram = groupBy count over per-tile
+    partial bincounts (the reference's HistogramAccumulator
+    partial+final merge, tiling.py:1915-1963)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segdata, dtype="<i8")
+                seg = seg[seg > 0]
+                if seg.size == 0:
+                    continue
+                u, c = np.unique(seg, return_counts=True)
+                frames.append(pd.DataFrame({
+                    "image_id": row.image_id, "seg_id": u, "cnt": c}))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame(columns=["image_id", "seg_id",
+                                              "cnt"]))
+
+    part = final_tiles.select("image_id", "segdata").mapInPandas(
+        kernel, "image_id string, seg_id long, cnt long")
+    return part.groupBy("image_id", "seg_id").agg(
+        F.sum("cnt").alias("cnt"))
+
+
+def check_empty_segments(seg_sizes, seg_images=None, max_seg=None):
+    """S10 (tiling.py:1308-1341): every ID in 1..max must have pixels;
+    an empty segment indicates a stitch inconsistency. Returns a
+    DataFrame of missing IDs (empty => consistent)."""
+    mx = seg_sizes.groupBy("image_id").agg(
+        F.max("seg_id").alias("max_seg"))
+    expected = mx.select(
+        "image_id",
+        F.explode(F.sequence(F.lit(1), F.col("max_seg"))).alias("seg_id"))
+    return expected.join(seg_sizes, ["image_id", "seg_id"],
+                         "left_anti")
+
+
+def fill_missing_stats(stats_df, all_segments):
+    """Segments with zero valid pixels report MISSING_STATS_VALUE
+    (tilingstats.py:943-950): left-join the full segment list and
+    fill."""
+    joined = all_segments.join(stats_df, ["image_id", "seg_id"],
+                               "left")
+    fills = {c: MISSING_STATS_VALUE for c in joined.columns
+             if c.endswith("_val")}
+    fills["pix_count"] = 0
+    return joined.fillna(fills)

@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+First-class engine components (driver brief): exact hash dedup,
+MinHash+LSH, SimHash, n-gram Jaccard verification, and
+embedding-cosine near-dup — all expressed Spark-first:
+
+- hashing/shingling runs JVM-side where Spark has the primitive
+  (xxhash64, F.transform), Arrow pandas UDFs otherwise — never
+  per-row Python.
+- LSH banding turns the quadratic all-pairs problem into an
+  equi-join on (band, bucket-hash): the shuffle is proportional to
+  candidate-pair count, and AQE skew-join splits hot buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+# Mersenne prime for universal hashing
+_MERSENNE = (1 << 61) - 1
+
+
+def normalized_text(col):
+    """lower + collapse whitespace: the canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs, text_col="text", id_col="doc_id"):
+    """Exact dedup by content hash (hash-groupBy): returns groups
+    with >1 docs. xxhash64 is JVM-side; the only shuffle is the
+    groupBy on the 64-bit key."""
+    h = F.xxhash64(normalized_text(F.col(text_col)))
+    return (docs.withColumn("content_hash", h)
+            .groupBy("content_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def _shingles(text_col, k=5):
+    """Word k-shingle hashes as array<long>, computed with JVM
+    builtins (split + transform + xxhash64 via concat)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(words, i + 1, k))))
+
+
+def minhash_signatures(docs, text_col="text", id_col="doc_id",
+                       num_hashes=64, k=5, seed=42):
+    """MinHash signature per doc: shingle hashes (JVM) -> per-doc min
+    over ``num_hashes`` universal hash functions (vectorized pandas
+    UDF over the shingle array — one Arrow batch per partition)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None or len(arr) == 0:
+                out.append([0] * num_hashes)
+                continue
+            x = np.asarray(arr, dtype=np.uint64)
+            # (a*x + b) mod p, min over shingles, per hash function
+            vals = (x[None, :] * a.astype(np.uint64)[:, None]
+                    + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select(
+        id_col, F.col(text_col),
+        sig(_shingles(text_col, k)).alias("minhash"))
+
+
+def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
+                      bands=16):
+    """LSH banding: hash each band of the signature, equi-join docs
+    sharing a (band, bucket); candidate pairs deduped by (a < b)."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        id_col, "minhash",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.xxhash64(F.concat_ws(
+                ",", F.transform(
+                    F.slice("minhash", bi * rows_per_band + 1,
+                            rows_per_band),
+                    lambda v: v.cast("string")))))).alias("band",
+                                                          "bucket"))
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket",
+                         F.col("minhash").alias("sig_a"))
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket",
+                          F.col("minhash").alias("sig_b"))
+    pairs = (left.join(right, ["band", "bucket"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sig_a", "sig_b").distinct())
+    # estimated Jaccard = fraction of matching signature positions
+    est = (F.size(F.zip_with("sig_a", "sig_b",
+                             lambda x, y: F.when(x == y, 1)
+                             .otherwise(0)).cast("array<int>")
+                  .alias("zz")),)
+    match = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    _ = est
+    return pairs.select(
+        "a", "b",
+        (match / F.size("sig_a")).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(docs, cand_pairs, text_col="text",
+                        id_col="doc_id", k=5, threshold=0.7):
+    """Exact n-gram Jaccard verification of candidate pairs: join the
+    shingle sets back on both sides, intersect/union JVM-side."""
+    sh = docs.select(F.col(id_col),
+                     F.array_distinct(
+                         _shingles(text_col, k)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    j = (cand_pairs.join(a, "a").join(b, "b")
+         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+         .withColumn("jaccard",
+                     F.when(F.col("uni") > 0,
+                            F.col("inter") / F.col("uni"))
+                     .otherwise(F.lit(0.0))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def simhash(docs, text_col="text", id_col="doc_id", k=3):
+    """64-bit SimHash per doc from word k-shingles: sum of +-1 per
+    bit weighted by shingle occurrence, sign -> bit. Vectorized
+    pandas UDF over the shingle array."""
+
+    @pandas_udf("long")
+    def sh64(sh: pd.Series) -> pd.Series:
+        out = np.zeros(len(sh), dtype=np.int64)
+        for i, arr in enumerate(sh):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.uint64)
+            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            word = np.uint64(0)
+            for bpos in range(64):
+                if v[bpos] > 0:
+                    word |= np.uint64(1) << np.uint64(bpos)
+            out[i] = word.astype(np.int64)
+        return pd.Series(out)
+
+    return docs.select(id_col, sh64(_shingles(text_col, k))
+                       .alias("simhash"))
+
+
+def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
+                      blocks=4):
+    """Near-dup pairs by SimHash: block the 64-bit hash into
+    ``blocks`` segments (pigeonhole: any pair within max_hamming <
+    blocks shares >= 1 exact block), equi-join per block, verify
+    Hamming distance with bit_count (JVM-side)."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    exploded = sim.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned("simhash", i * width)
+             .bitwiseAND(F.lit(mask))) for i in range(blocks)
+        ])).alias("block", "key"))
+    a = exploded.select(F.col(id_col).alias("a"), "block", "key",
+                        F.col("simhash").alias("h_a"))
+    b = exploded.select(F.col(id_col).alias("b"), "block", "key",
+                        F.col("simhash").alias("h_b"))
+    pairs = (a.join(b, ["block", "key"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",
+                        threshold=0.95, bits=16, seed=42):
+    """Embedding-cosine near-dup via random-hyperplane LSH: sign
+    sketch (bits planes) -> equi-join on sketch -> exact cosine
+    verify on candidates. The sketch join avoids the quadratic
+    all-pairs shuffle; raise ``bits`` to cut candidates at scale."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim)).astype(np.float32)
+
+    @pandas_udf("long")
+    def sketch(vs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        s = (m @ planes.T) > 0
+        out = np.zeros(len(vs), dtype=np.int64)
+        for i in range(bits):
+            out |= s[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    sk = emb.select(id_col, vec_col, sketch(F.col(vec_col))
+                    .alias("sketch"))
+    a = sk.select(F.col(id_col).alias("a"), "sketch",
+                  F.col(vec_col).alias("v_a"))
+    b = sk.select(F.col(id_col).alias("b"), "sketch",
+                  F.col(vec_col).alias("v_b"))
+    pairs = (a.join(b, "sketch").filter(F.col("a") < F.col("b")))
+    dot = F.aggregate(F.zip_with("v_a", "v_b",
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("v_a", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("v_b", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (pairs.withColumn("cosine", dot / (na * nb))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))

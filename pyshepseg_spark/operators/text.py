@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (n-gram heuristic), quality scoring, token counting, and
+document fingerprinting — all pure column expressions (JVM-side,
+whole-stage codegen) except the rolling-hash fingerprint, which is a
+vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+# tiny per-language stopword marker sets for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _count_token(words, token):
+    # NB: the HOF lambda must take exactly one parameter (a second
+    # parameter would be interpreted as the array index by Spark)
+    def pred(w):
+        return w == F.lit(token)
+    return F.size(F.filter(words, pred))
+
+
+def language_id(docs, text_col="text"):
+    """Heuristic language ID: score = count of per-language marker
+    tokens; argmax via greatest over struct comparisons (pure SQL)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = sum((_count_token(words, m) for m in markers), F.lit(0))
+        scores.append(F.struct(s.alias("score"),
+                               F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return docs.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise("unknown")
+    ).withColumn("lang_score", best["score"])
+
+
+def quality_score(docs, text_col="text"):
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length; composite score in [0, 1]. All JVM-side."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop = _LANG_MARKERS["en"]
+    lwords = F.split(F.lower(t), r"\s+")
+    n_stop = sum((_count_token(lwords, m) for m in stop), F.lit(0))
+    mean_wlen = F.when(n_words > 0,
+                       (n_chars - n_words + 1) / n_words).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(0.0)
+    length_ok = F.when((n_chars >= 64) & (n_chars <= 100000), 1.0) \
+        .otherwise(0.3)
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0) \
+        .otherwise(0.3)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    score = (length_ok + wlen_ok + punct_ok) / 3.0
+    return (docs
+            .withColumn("n_words", n_words)
+            .withColumn("punct_ratio", punct_ratio)
+            .withColumn("stopword_ratio", stop_ratio)
+            .withColumn("mean_word_len", mean_wlen)
+            .withColumn("quality", score))
+
+
+def token_counts(docs, text_col="text"):
+    """Whitespace tokens plus a BPE-ish sub-token estimate from a
+    regex split on letter/digit/punct boundaries (pure SQL)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_ish = F.size(F.filter(
+        F.split(t, r"(?<=\W)|(?=\W)|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
+        lambda s: F.length(F.trim(s)) > 0))
+    return docs.withColumn("n_ws_tokens", ws) \
+               .withColumn("n_bpe_tokens", bpe_ish)
+
+
+def fingerprint(docs, text_col="text", window: int = 8):
+    """Winnowing-style document fingerprint: rolling polynomial hash
+    over the normalized text, minimum hash per sliding window,
+    distinct mins xor-folded to one int64. Vectorized pandas UDF."""
+
+    @pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        base = np.uint64(1099511628211)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            b = np.frombuffer(" ".join(t.lower().split())
+                              .encode("utf-8"), dtype=np.uint8)
+            if len(b) < window:
+                out[i] = np.int64(b.astype(np.uint64).sum())
+                continue
+            h = np.zeros(len(b) - window + 1, dtype=np.uint64)
+            acc = np.zeros(len(b), dtype=np.uint64)
+            # rolling hash via cumulative polynomial trick, vectorized
+            # with a strided window hash (fnv-ish per window)
+            mat = np.lib.stride_tricks.sliding_window_view(b, window)
+            h = mat.astype(np.uint64)
+            weights = base ** np.arange(window, dtype=np.uint64)
+            h = (h * weights[None, :]).sum(axis=1)
+            _ = acc
+            mins = np.minimum.reduceat(
+                h, np.arange(0, len(h), window))
+            v = np.uint64(0)
+            for m in np.unique(mins):
+                v ^= m
+            out[i] = v.astype(np.int64)
+        return pd.Series(out)
+
+    return docs.withColumn("fingerprint", fp(F.col(text_col)))

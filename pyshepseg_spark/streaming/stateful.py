@@ -1,0 +1,80 @@
+"""Structured-Streaming analogues of the reference's tile-streaming
+state machine (SURVEY.md §2.8).
+
+The reference holds per-segment state until the accumulated pixel
+count equals the known segment size, then finalizes and evicts
+(checkSegComplete, tilingstats.py:518-553, eviction :610-617). In
+batch Spark a shuffle groupBy subsumes that machinery; when tiles
+arrive as a *stream*, the same semantics map onto
+``applyInPandasWithState``: state = partial value histogram +
+expected count, emit + drop on completion — implemented here, plus a
+watermarked windowed aggregation for late tile partials.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import (GroupState,
+                                         GroupStateTimeout)
+
+COMPLETION_OUT_SCHEMA = ("image_id string, seg_id long, "
+                         "pix_count long, mean_val double, "
+                         "min_val long, max_val long")
+COMPLETION_STATE_SCHEMA = ("cnt long, vsum double, vmin long, "
+                           "vmax long, expected long")
+
+
+def segment_completion_stream(partials):
+    """Streaming per-segment stat completion.
+
+    ``partials`` is a *streaming* DataFrame of per-tile partial rows
+    (image_id, seg_id, cnt, vsum, vmin, vmax, expected) where
+    ``expected`` is the segment's total pixel count (the RAT
+    histogram precondition, tilingstats.py:165-166). A segment's
+    state is held until its accumulated count reaches ``expected``,
+    then a finalized row is emitted and the state evicted — the exact
+    checkSegComplete/eviction behaviour as a Spark stateful op.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cnt, vsum, vmin, vmax, expected = state.get
+        else:
+            cnt, vsum, vmin, vmax, expected = 0, 0.0, None, None, None
+        for pdf in pdfs:
+            cnt += int(pdf["cnt"].sum())
+            vsum += float(pdf["vsum"].sum())
+            mn = int(pdf["vmin"].min())
+            mx = int(pdf["vmax"].max())
+            vmin = mn if vmin is None else min(vmin, mn)
+            vmax = mx if vmax is None else max(vmax, mx)
+            expected = int(pdf["expected"].iloc[0])
+        if expected is not None and cnt >= expected:
+            state.remove()  # eviction (tilingstats.py:610-617)
+            yield pd.DataFrame([{
+                "image_id": key[0], "seg_id": key[1],
+                "pix_count": cnt, "mean_val": vsum / max(cnt, 1),
+                "min_val": vmin, "max_val": vmax}])
+        else:
+            state.update((cnt, vsum, vmin, vmax, expected))
+            yield pd.DataFrame(columns=[
+                "image_id", "seg_id", "pix_count", "mean_val",
+                "min_val", "max_val"])
+
+    return (partials.groupBy("image_id", "seg_id")
+            .applyInPandasWithState(
+                fn, COMPLETION_OUT_SCHEMA, COMPLETION_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))
+
+
+def windowed_event_counts(events, window="10 minutes",
+                          watermark="20 minutes"):
+    """Watermarked windowed aggregation over an event stream (the
+    late-tile analogue): counts + value sums per (window, type)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("value_sum")))

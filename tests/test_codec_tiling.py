@@ -1,0 +1,75 @@
+"""Codec roundtrips and tile-grid semantics (no Spark)."""
+
+import numpy as np
+
+from pyshepseg_spark.operators.tiling import morton_cell, tile_grid
+from pyshepseg_spark.sources.codec import (average_phash, decode_image,
+                                           encode_image)
+from pyshepseg_spark.sources.imagegen import generate_image
+
+
+def test_png16_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    for bands in (1, 3):
+        img = rng.integers(0, 65536, (bands, 37, 53)).astype(np.uint16)
+        data = encode_image(img, "png")
+        back = decode_image(data, "png", 53, 37)
+        assert np.array_equal(img, back)  # lossless: PSNR = inf
+
+
+def test_raw_u16_roundtrip_exact():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 65536, (3, 10, 20)).astype(np.uint16)
+    back = decode_image(encode_image(img, "raw_u16"), "raw_u16", 20, 10)
+    assert np.array_equal(img, back)
+
+
+def test_fixture_row_invariants():
+    """input_hint per-row invariant: decoded pixels exact (lossless)
+    + caption equality + deterministic phash."""
+    row1, truth1 = generate_image(7, size=128)
+    row2, _ = generate_image(7, size=128)
+    assert row1["caption"] == row2["caption"]
+    assert row1["phash"] == row2["phash"]
+    img1 = decode_image(row1["bytes"], row1["fmt"], 128, 128)
+    img2 = decode_image(row2["bytes"], row2["fmt"], 128, 128)
+    assert np.array_equal(img1, img2)
+    assert average_phash(img1[0]) == row1["phash"]
+    # truth ids match caption's region count
+    k = int(row1["caption"].split(": ")[1].split()[0])
+    assert truth1.max() == k
+
+
+def test_tile_grid_reference_semantics():
+    """Matches getTilesForFile (tiling.py:376-443): step =
+    size-overlap; last tile grows to the edge whenever another full
+    tile would not fit."""
+    tiles, ntc, ntr = tile_grid(512, 512, 256, 64)
+    assert ntc == ntr == 2
+    # second (last) tile grows: starts at 192, spans to 512
+    xs = sorted({(t[2], t[4]) for t in tiles})
+    assert xs == [(0, 256), (192, 320)]
+
+    # exactly divisible by step with no sliver: single growing check
+    tiles2, ntc2, _ = tile_grid(700, 300, 256, 64)
+    assert ntc2 == 2
+    assert tiles2[-1][2] + tiles2[-1][4] == 700
+    # every pixel covered
+    cover = np.zeros(700, dtype=bool)
+    for (tc, tr, xp, yp, xsz, ysz) in tiles2:
+        cover[xp:xp + xsz] = True
+    assert cover.all()
+
+
+def test_tile_grid_small_image_single_tile():
+    tiles, ntc, ntr = tile_grid(100, 80, 256, 64)
+    assert tiles == [(0, 0, 0, 0, 100, 80)]
+    assert ntc == ntr == 1
+
+
+def test_morton_cell_locality():
+    assert morton_cell(0, 0) == 0
+    assert morton_cell(1, 0) == 1
+    assert morton_cell(0, 1) == 2
+    assert morton_cell(1, 1) == 3
+    assert morton_cell(2, 2) == 12

@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: dedup, text analysis,
+similarity search — over the driver testdata tables plus crafted
+cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyshepseg_spark.operators.dedup import (embedding_near_dups,
+                                             exact_duplicates,
+                                             minhash_lsh_pairs,
+                                             minhash_signatures,
+                                             ngram_jaccard_pairs,
+                                             simhash,
+                                             simhash_near_dups)
+from pyshepseg_spark.operators.similarity import (brute_force_topk,
+                                                  ivf_topk,
+                                                  train_ivf_centroids)
+from pyshepseg_spark.operators.text import (fingerprint, language_id,
+                                            quality_score,
+                                            token_counts)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    # plant exact dups by unioning a copy with new ids
+    n = docs.count()
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + n)
+    groups = exact_duplicates(docs.union(dup)).collect()
+    assert len(groups) == 5
+    for g in groups:
+        assert g["n_docs"] == 2
+        assert g["doc_ids"][0] + n == g["doc_ids"][1]
+
+
+def test_minhash_estimates_jaccard(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep dark forest tonight") * 3
+    near = base.replace("dark", "cold")
+    far = ("completely different words everywhere nothing shared "
+           "at all zebra piano quantum") * 3
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": [base, near, far]})
+    df = spark.createDataFrame(pdf)
+    sigs = minhash_signatures(df, num_hashes=64, k=3)
+    pairs = minhash_lsh_pairs(sigs, num_hashes=64, bands=16).toPandas()
+    d = {(r.a, r.b): r.est_jaccard for r in pairs.itertuples()}
+    assert d.get((1, 2), 0) > 0.5       # near-dups bucket together
+    assert d.get((1, 3), 0) < 0.2 or (1, 3) not in d
+    # exact verification pass
+    ver = ngram_jaccard_pairs(
+        df, spark.createDataFrame(pd.DataFrame(
+            {"a": [1], "b": [2]})), k=3, threshold=0.3).toPandas()
+    assert len(ver) == 1 and ver.iloc[0].jaccard > 0.5
+
+
+def test_simhash_near_dups(spark):
+    base = " ".join(f"word{i}" for i in range(200))
+    near = base.replace("word100", "wordX")
+    far = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, near, far]}))
+    s = simhash(df, k=3)
+    pairs = simhash_near_dups(s, max_hamming=8).toPandas()
+    keys = {(r.a, r.b) for r in pairs.itertuples()}
+    assert (1, 2) in keys
+    assert (1, 3) not in keys
+
+
+def test_embedding_near_dups(spark, emb):
+    # plant a near-identical copy of vec 0
+    one = emb.limit(1).toPandas()
+    v = np.asarray(one.iloc[0]["embedding"], dtype=np.float32)
+    v2 = (v + 1e-4).tolist()
+    extra = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [10_000], "embedding": [v2],
+         "label": [one.iloc[0]["label"]]}))
+    pairs = embedding_near_dups(emb.unionByName(extra),
+                                threshold=0.999).toPandas()
+    keys = {(r.a, r.b) for r in pairs.itertuples()}
+    assert (one.iloc[0]["vec_id"], 10_000) in keys
+
+
+def test_language_id_and_quality(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat and the dog is of the house to go " * 4,
+                 "el la de que los amigos el la de que",
+                 "xyzzy"]})
+    df = spark.createDataFrame(pdf)
+    out = language_id(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "es"
+    assert out.loc[3, "lang_pred"] == "unknown"
+    q = quality_score(df).toPandas().set_index("doc_id")
+    assert 0.0 <= q.quality.min() and q.quality.max() <= 1.0
+    assert q.loc[1, "quality"] > q.loc[3, "quality"]
+
+
+def test_token_counts_and_fingerprint(spark, docs):
+    out = token_counts(docs.limit(20)).toPandas()
+    assert (out.n_ws_tokens > 0).all()
+    assert (out.n_bpe_tokens >= out.n_ws_tokens).all()
+    fp = fingerprint(docs.limit(20)).toPandas()
+    assert fp.fingerprint.nunique() > 15  # near-unique fingerprints
+    # determinism
+    fp2 = fingerprint(docs.limit(20)).toPandas()
+    assert (fp.fingerprint.to_numpy()
+            == fp2.fingerprint.to_numpy()).all()
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    corpus = emb
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    got = brute_force_topk(queries, corpus, k=3).toPandas()
+    cp = corpus.toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in cp.embedding])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qp = queries.toPandas()
+    for r in qp.itertuples(index=False):
+        q = np.asarray(r.embedding, dtype=np.float64)
+        cos = mat_n @ (q / np.linalg.norm(q))
+        order = np.lexsort((cp.vec_id.to_numpy(), -cos))
+        expect = cp.vec_id.to_numpy()[order[:3]].tolist()
+        g = got[got.q_id == r.q_id].sort_values("rank")
+        assert g.c_id.tolist() == expect
+
+
+def test_ivf_topk_recall(spark, emb):
+    centroids = train_ivf_centroids(emb, n_cells=8)
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    exact = brute_force_topk(queries, emb, k=5).toPandas()
+    approx = ivf_topk(queries, emb, centroids, k=5,
+                      nprobe=4).toPandas()
+    hits = tot = 0
+    for qid in exact.q_id.unique():
+        e = set(exact[exact.q_id == qid].c_id)
+        a = set(approx[approx.q_id == qid].c_id)
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.8  # recall with nprobe=4 of 8 cells

@@ -1,0 +1,121 @@
+"""Multimodal plumbing, streaming stateful op, checkpoint-resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyshepseg_spark.operators.multimodal import (audio_features,
+                                                  image_features,
+                                                  resize_images,
+                                                  video_frame_sample)
+from pyshepseg_spark.sources.codec import decode_image
+
+
+def test_image_features(spark, images_fixture):
+    pdf, _, images = images_fixture
+    out = image_features(images, img_null_val=65535).toPandas()
+    assert len(out) == len(pdf)
+    row = pdf.iloc[0]
+    img = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+    valid = (img != 65535).all(axis=0)
+    expect = img[:, valid].mean(axis=1)
+    got = out[out.image_id == row["image_id"]].iloc[0]
+    assert np.allclose(got.band_means, expect)
+    assert 0.9 < got.nonnull_frac < 1.0
+
+
+def test_resize_images(spark, images_fixture):
+    pdf, _, images = images_fixture
+    out = resize_images(images, factor=2).toPandas()
+    row = out[out.image_id == pdf.iloc[0]["image_id"]].iloc[0]
+    assert row.w == pdf.iloc[0]["w"] // 2
+    small = decode_image(row["bytes"], row["fmt"], row.w, row.h)
+    big = decode_image(pdf.iloc[0]["bytes"], pdf.iloc[0]["fmt"],
+                       pdf.iloc[0]["w"], pdf.iloc[0]["h"])
+    expect = big[:, :row.h * 2, :row.w * 2].reshape(
+        3, row.h, 2, row.w, 2).mean(axis=(2, 4)).astype(np.uint16)
+    assert np.array_equal(small, expect)
+
+
+def test_audio_video_stub_plumbing(spark):
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["m1", "m2"],
+        "bytes": [b"\x01\x02" * 2000, b"\x03\x04" * 3000]}))
+    af = audio_features(media, fake=True).toPandas()
+    assert list(af.columns) == ["media_id", "n_samples",
+                                "sample_rate", "rms"]
+    assert (af.n_samples > 0).all()
+    vf = video_frame_sample(media, every_n=2, frame_bytes=256,
+                            fake=True).toPandas()
+    assert (vf.frame_idx % 2 == 0).all()
+    assert all(len(b) == 256 for b in vf.frame)
+
+
+def test_streaming_segment_completion(spark, tmp_path):
+    """A6 as a Spark stateful streaming op: state held until the
+    expected count arrives, then finalized + evicted
+    (tilingstats.py:518-617 semantics)."""
+    from pyshepseg_spark.streaming.stateful import (
+        segment_completion_stream)
+    # two batches: segment 1 completes only after batch 2
+    src = str(tmp_path / "partials")
+    os.makedirs(src)
+    b1 = pd.DataFrame([
+        {"image_id": "i1", "seg_id": 1, "cnt": 3, "vsum": 30.0,
+         "vmin": 5, "vmax": 15, "expected": 5},
+        {"image_id": "i1", "seg_id": 2, "cnt": 2, "vsum": 8.0,
+         "vmin": 4, "vmax": 4, "expected": 2}])
+    b2 = pd.DataFrame([
+        {"image_id": "i1", "seg_id": 1, "cnt": 2, "vsum": 20.0,
+         "vmin": 10, "vmax": 10, "expected": 5}])
+    schema = ("image_id string, seg_id long, cnt long, vsum double, "
+              "vmin long, vmax long, expected long")
+    spark.createDataFrame(b1).write.parquet(src + "/b1")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    out = segment_completion_stream(stream)
+    q = (out.writeStream.format("memory").queryName("seg_done")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("select * from seg_done").toPandas()
+        assert set(got1.seg_id) == {2}  # seg 1 incomplete
+        spark.createDataFrame(b2).write.parquet(src + "/b2")
+        q.processAllAvailable()
+        got2 = spark.sql("select * from seg_done").toPandas()
+        assert set(got2.seg_id) == {1, 2}
+        r = got2[got2.seg_id == 1].iloc[0]
+        assert r.pix_count == 5 and r.mean_val == 10.0
+        assert r.min_val == 5 and r.max_val == 15
+    finally:
+        q.stop()
+
+
+def test_checkpoint_resume(spark, images_fixture, cfg, tmp_path):
+    """North rule: resumable from checkpoint; a second run reuses the
+    persisted seg_tiles (zero new kernel work) and yields identical
+    output."""
+    from pyshepseg_spark.operators.segment import assemble_image
+    from pyshepseg_spark.plans.checkpoint import (
+        run_segmentation_checkpointed)
+    pdf, _, images = images_fixture
+    ck = str(tmp_path / "ck")
+    final1, lin1 = run_segmentation_checkpointed(
+        spark, images, cfg, ck, run_id="r1")
+    p1 = final1.toPandas()
+    final2, lin2 = run_segmentation_checkpointed(
+        spark, images, cfg, ck, run_id="r2")
+    p2 = final2.toPandas()
+    for iid in pdf.image_id:
+        a = assemble_image(p1[p1.image_id == iid], 256, 256)
+        b = assemble_image(p2[p2.image_id == iid], 256, 256)
+        assert np.array_equal(a, b)
+    # lineage recorded per stage
+    stages = {r["stage"] for r in lin2.rows}
+    assert {"segment", "stitch", "totals"} <= stages

@@ -1,0 +1,95 @@
+"""Spark pipeline tests: tiled segmentation end-to-end."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyshepseg_spark.operators.segment import (SegConfig,
+                                               assemble_image,
+                                               segment_images)
+from pyshepseg_spark.operators.tiling import explode_tiles, tile_metrics
+from pyshepseg_spark.operators.zonal import (check_empty_segments,
+                                             segment_sizes)
+from pyshepseg_spark.sources.codec import decode_image
+from tests.conftest import SIZE, reconstruction_fraction
+
+
+def test_explode_tiles_pixel_equality(spark, images_fixture):
+    pdf, _, images = images_fixture
+    tiles = explode_tiles(images, 128, 32).toPandas()
+    row = pdf.iloc[0]
+    img = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+    g = tiles[tiles.image_id == row["image_id"]]
+    assert len(g) == 4  # 256 px, tile 128, overlap 32 -> 2x2 grid
+    for t in g.itertuples(index=False):
+        sub = np.frombuffer(t.pixels, dtype="<u2").reshape(
+            t.nbands, t.ysize, t.xsize)
+        expect = img[:, t.ypos:t.ypos + t.ysize,
+                     t.xpos:t.xpos + t.xsize]
+        assert np.array_equal(sub, expect)
+
+
+def test_tiled_segmentation_reconstruction(images_fixture, final_tiles):
+    """The reference CI gate, on the stitched output: 100% of valid
+    pixels reconstruct within 0.5; null masks exact; IDs dense."""
+    pdf, truths, _ = images_fixture
+    fpdf = final_tiles.toPandas()
+    for iid, g in fpdf.groupby("image_id"):
+        row = pdf[pdf.image_id == iid].iloc[0]
+        img = decode_image(row["bytes"], row["fmt"], row["w"],
+                           row["h"])
+        seg = assemble_image(g, row["w"], row["h"])
+        assert reconstruction_fraction(seg, img) == 1.0
+        assert ((seg == 0) == (truths[iid] == 0)).all()
+        sizes = np.bincount(seg.ravel())
+        assert (sizes[1:] > 0).all()  # dense IDs, no empty segments
+
+
+def test_no_empty_segments(spark, final_tiles):
+    sizes = segment_sizes(final_tiles)
+    assert check_empty_segments(sizes).count() == 0
+
+
+def test_whole_image_path_agrees_on_segment_structure(
+        spark, images_fixture, cfg):
+    """Whole-image (single-tile) fast path also passes the
+    reconstruction gate and produces per-image dense IDs."""
+    pdf, truths, images = images_fixture
+    out = segment_images(images, cfg).collect()
+    assert len(out) == len(pdf)
+    for r in out:
+        seg = np.frombuffer(r["segdata"], dtype="<i8").reshape(
+            r["h"], r["w"])
+        row = pdf[pdf.image_id == r["image_id"]].iloc[0]
+        img = decode_image(row["bytes"], row["fmt"], row["w"],
+                           row["h"])
+        assert reconstruction_fraction(seg, img) == 1.0
+        assert ((seg == 0) == (truths[r["image_id"]] == 0)).all()
+
+
+def test_lineage_metrics(spark, images_fixture, cfg):
+    from pyshepseg_spark.operators.segment import (
+        fit_centres_per_image, segment_tiles)
+    _, _, images = images_fixture
+    tiles = explode_tiles(images, cfg.tile_size, cfg.overlap)
+    centres = fit_centres_per_image(images, cfg)
+    st = segment_tiles(tiles, centres, cfg)
+    m = tile_metrics(st).toPandas()
+    assert (m.n_tiles == 4).all()
+    assert (m.kernel_secs > 0).all()
+    assert (m.n_local_segments > 0).all()
+
+
+def test_stitch_consistency_single_vs_multi_partition(
+        spark, images_fixture, cfg, final_tiles):
+    """Order-independence: the stitched result must not depend on
+    partitioning/parallelism (the two-cluster-size invariance at the
+    correctness level)."""
+    from pyshepseg_spark.operators.segment import segment_images_tiled
+    pdf, _, images = images_fixture
+    final2, _, _ = segment_images_tiled(images.repartition(1), cfg)
+    a = final_tiles.toPandas()
+    b = final2.toPandas()
+    for iid in pdf.image_id:
+        sa = assemble_image(a[a.image_id == iid], SIZE, SIZE)
+        sb = assemble_image(b[b.image_id == iid], SIZE, SIZE)
+        assert np.array_equal(sa, sb)

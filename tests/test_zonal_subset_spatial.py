@@ -1,0 +1,152 @@
+"""Zonal stats vs numpy oracle, subset roundtrip, spatial joins."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyshepseg_spark.operators.segment import assemble_image
+from pyshepseg_spark.operators.spatial import (knn_segments,
+                                               point_in_segment,
+                                               segment_centroids)
+from pyshepseg_spark.operators.spatialstats import (apply_segment_udf,
+                                                    edge_pixels_udf,
+                                                    mean_coords,
+                                                    pixels_long,
+                                                    variogram_udf)
+from pyshepseg_spark.operators.subset import (assemble_subset,
+                                              subset_segmentation)
+from pyshepseg_spark.operators.zonal import (segment_stats,
+                                             tile_value_histogram)
+from pyshepseg_spark.sources.codec import decode_image
+from pyshepseg_spark.sources.imagegen import caption_points
+from tests.conftest import SIZE
+
+
+def _image_and_seg(images_fixture, final_tiles, iid):
+    pdf, _, _ = images_fixture
+    row = pdf[pdf.image_id == iid].iloc[0]
+    img = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+    fpdf = final_tiles.toPandas()
+    seg = assemble_image(fpdf[fpdf.image_id == iid], row["w"],
+                         row["h"])
+    return img, seg
+
+
+def test_zonal_stats_match_numpy(spark, images_fixture, final_tiles):
+    """Exact finalizers: min/max/mean/pop-stddev/median/percentiles
+    vs direct numpy on the assembled raster (the reference's
+    SegmentStats semantics, tilingstats.py:922-1008)."""
+    iid = "img_000000"
+    img, seg = _image_and_seg(images_fixture, final_tiles, iid)
+    hist = tile_value_histogram(final_tiles, img_null_val=65535)
+    stats = segment_stats(hist, percentiles=(25, 50, 75)) \
+        .filter((F.col("image_id") == iid) & (F.col("band") == 0)) \
+        .toPandas()
+    assert len(stats) == seg.max()
+    for r in stats.itertuples(index=False):
+        vals = img[0][seg == r.seg_id]
+        vals = vals[vals != 65535].astype(np.float64)
+        sv = np.sort(vals)
+
+        def pct(p):
+            # first value with cumulative count >= n*p/100
+            # (tilingstats.py:979-986)
+            target = len(sv) * p / 100.0
+            idx = int(np.ceil(target)) - 1 if target > 0 else 0
+            return sv[max(idx, 0)]
+
+        assert r.min_val == vals.min()
+        assert r.max_val == vals.max()
+        assert np.isclose(r.mean_val, vals.mean())
+        assert np.isclose(r.stddev_val, vals.std())
+        assert r.pix_count == len(vals)
+        assert r.p25_val == pct(25)
+        assert r.p50_val == pct(50) == r.median_val
+        assert r.p75_val == pct(75)
+        # mode: max count, ties -> smallest value
+        u, c = np.unique(vals, return_counts=True)
+        assert r.mode_val == u[np.argmax(c)]
+
+
+def test_mean_coords_match(spark, images_fixture, final_tiles):
+    iid = "img_000001"
+    _, seg = _image_and_seg(images_fixture, final_tiles, iid)
+    pix = pixels_long(final_tiles)
+    mc = mean_coords(pix).filter(F.col("image_id") == iid).toPandas()
+    for r in mc.itertuples(index=False):
+        yy, xx = np.nonzero(seg == r.seg_id)
+        assert np.isclose(r.mean_easting, xx.mean(), atol=3e-4)
+        assert np.isclose(r.mean_northing, yy.mean(), atol=3e-4)
+
+
+def test_edge_pixels_udf(spark, final_tiles):
+    pix = pixels_long(final_tiles).filter(
+        (F.col("image_id") == "img_000000") & (F.col("seg_id") <= 2))
+    f, sch = edge_pixels_udf(four_connected=True)
+    out = apply_segment_udf(pix, f, sch).toPandas()
+    assert len(out) == 2
+    assert (out.num_edge_pixels > 0).all()
+
+
+def test_variogram_flat_segments_zero(spark, final_tiles):
+    pix = pixels_long(final_tiles).filter(
+        (F.col("image_id") == "img_000000") & (F.col("seg_id") == 1))
+    f, sch = variogram_udf(max_dist=2)
+    out = apply_segment_udf(pix, f, sch).toPandas()
+    # flat-colour fixture: zero variance at every lag
+    assert np.allclose(out[["variogram_1", "variogram_2"]], 0.0)
+
+
+def test_subset_roundtrip(spark, images_fixture, final_tiles):
+    """Reference checkSubset (runtests.py:414-431): subset IDs
+    restart at 1, mapping new->old exact."""
+    q = SIZE // 4
+    sub, mapping = subset_segmentation(final_tiles, q, q, 2 * q, 2 * q)
+    sp = sub.toPandas()
+    mp = mapping.toPandas()
+    pdf, _, _ = images_fixture
+    for iid in pdf.image_id:
+        _, seg = _image_and_seg(images_fixture, final_tiles, iid)
+        s = assemble_subset(sp[sp.image_id == iid], 2 * q, 2 * q)
+        ids = np.unique(s[s > 0])
+        assert ids.min() == 1 and ids.max() == len(ids)
+        mm = mp[mp.image_id == iid]
+        lut = dict(zip(mm.new_id, mm.orig_val))
+        back = np.vectorize(lambda v: lut.get(v, 0))(s)
+        assert np.array_equal(back, seg[q:3 * q, q:3 * q])
+
+
+def test_point_in_segment_exact(spark, images_fixture, final_tiles,
+                                cfg):
+    pdf, _, _ = images_fixture
+    pts = pd.concat([caption_points(r.image_id, r.caption, r.w, r.h)
+                     for r in pdf.itertuples()], ignore_index=True)
+    points = spark.createDataFrame(pts)
+    out = point_in_segment(points, final_tiles, cfg.tile_size,
+                           cfg.overlap).toPandas()
+    assert len(out) == len(pts)
+    for iid in pdf.image_id:
+        _, seg = _image_and_seg(images_fixture, final_tiles, iid)
+        for r in out[out.image_id == iid].itertuples(index=False):
+            assert seg[int(r.y), int(r.x)] == r.seg_id
+
+
+def test_knn_matches_brute_force(spark, images_fixture, final_tiles):
+    pdf, _, _ = images_fixture
+    pts = pd.concat([caption_points(r.image_id, r.caption, r.w, r.h,
+                                    n_points=8)
+                     for r in pdf.itertuples()], ignore_index=True)
+    points = spark.createDataFrame(pts)
+    pix = pixels_long(final_tiles)
+    cent = segment_centroids(pix)
+    got = knn_segments(points, cent, k=1, ring=3, shift=5).toPandas()
+    cents = cent.toPandas()
+    for iid in pdf.image_id[:1]:
+        cc = cents[cents.image_id == iid]
+        for r in pts[pts.image_id == iid].itertuples(index=False):
+            d = np.sqrt((cc.cx - r.x) ** 2 + (cc.cy - r.y) ** 2)
+            best = cc.seg_id.to_numpy()[np.argmin(d.to_numpy())]
+            g = got[(got.image_id == iid)
+                    & (got.point_id == r.point_id)]
+            if len(g):  # ring may miss only when no centroid nearby
+                assert g.iloc[0].seg_id == best

@@ -112,13 +112,15 @@ def fit_centres_per_image(images_df, cfg: SegConfig):
                 if cfg_b.img_null_val is not None:
                     x = x[(x != cfg_b.img_null_val).all(axis=1)]
                 npix = x.shape[0]
-                skip = max(1, int(round(
-                    npix / float(min(cfg_b.sample_target_pixels,
-                                     npix)))))
-                x = x[::skip].astype(np.float64)
                 k = int(getattr(row, "num_clusters",
                                 cfg_b.num_clusters) or
                         cfg_b.num_clusters)
+                # reference in-memory default: 1% stride sample
+                # (shepseg.py clusterSubsamplePcnt=1), floored so tiny
+                # images still give Lloyd enough points per cluster
+                target = min(npix, max(npix // 100, k * 200, 2000))
+                skip = max(1, npix // target)
+                x = x[::skip].astype(np.float64)
                 centres = fit_spectral_clusters_sample(
                     x, k, cfg_b.fixed_kmeans_init)
                 out.append({"image_id": row.image_id, "k": k,
@@ -329,12 +331,58 @@ def correspondence_edges(strips):
     return pairs.mapInPandas(kernel, "image_id string, a long, b long")
 
 
-def connected_components(edges, max_rounds=64):
-    """J2: label-propagation fixpoint over the correspondence edge
-    list (min-label), replacing the reference's order-dependent
-    sequential recode chain with an order-independent closure.
-    Returns (image_id, v, root). localCheckpoint between rounds cuts
-    lineage (SURVEY.md §7 hard part 5)."""
+def connected_components(edges, max_rounds=64,
+                         driver_threshold=2_000_000):
+    """J2: connected components over the correspondence edge list,
+    replacing the reference's order-dependent sequential recode chain
+    with an order-independent closure. Returns (image_id, v, root)
+    with root = min gid of the component.
+
+    Hybrid strategy: the edge list scales with *boundary-crossing
+    segments* (thousands per billion pixels), not pixels, so up to
+    ``driver_threshold`` edges a driver-side union-find (one collect,
+    zero shuffle rounds) is both faster and simpler; beyond that the
+    distributed label-propagation fixpoint below takes over.
+    localCheckpoint between rounds cuts lineage (SURVEY.md §7 hard
+    part 5)."""
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        return _cc_driver(edges)
+    return _cc_distributed(edges, max_rounds)
+
+
+def _cc_driver(edges):
+    rows = edges.collect()
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ka = (r["image_id"], r["a"])
+        kb = (r["image_id"], r["b"])
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(k[0], k[1], find(k)[1])
+           for k in set(parent) | {(r["image_id"], r["a"])
+                                   for r in rows}
+           | {(r["image_id"], r["b"]) for r in rows}]
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, "image_id string, v long, "
+                                      "root long")
+
+
+def _cc_distributed(edges, max_rounds=64):
+    """Distributed min-label propagation (for mosaics whose edge list
+    exceeds driver memory)."""
     sym = (edges.select("image_id", F.col("a").alias("v"),
                         F.col("b").alias("n"))
            .union(edges.select("image_id", F.col("b").alias("v"),
@@ -515,8 +563,14 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None):
 
 
 def stitch(seg_tiles, cfg: SegConfig):
-    """Stitch phase on a (possibly checkpoint-restored) seg_tiles."""
-    st = with_offsets(seg_tiles)
+    """Stitch phase on a (possibly checkpoint-restored) seg_tiles.
+
+    seg_tiles fans out into four consumers (strips, anchored gids,
+    gid ranges, paint); localCheckpoint materializes the expensive
+    kernel output exactly once so the fan-out never re-runs the
+    segmentation (on a cluster this is the durable S6 checkpoint
+    instead — plans/checkpoint.py)."""
+    st = with_offsets(seg_tiles).localCheckpoint()
     strips = extract_strips(st, cfg.overlap)
     edges = correspondence_edges(strips)
     cc = connected_components(edges)

@@ -20,6 +20,12 @@ def get_spark(app_name: str = "pyshepseg_spark",
               extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # one BLAS thread per python worker: the kernels already saturate
+    # every core via Spark partitions; nested BLAS threading only
+    # causes cache thrash (local-mode workers inherit driver env)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     shuffle_partitions = shuffle_partitions or int(cpus)
     b = (SparkSession.builder
          .appName(app_name)

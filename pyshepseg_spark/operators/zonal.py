@@ -114,6 +114,66 @@ def seg_image_value_histogram(seg_images, images_df,
             .agg(F.sum("cnt").alias("cnt")))
 
 
+def segment_and_histogram(images_df, cfg):
+    """Fused flagship kernel: decode -> segment -> per-segment value
+    histogram in ONE mapInPandas pass (no second decode, no shuffle
+    join of raster binaries — at 10^12-image scale the only shuffle
+    is the tiny histogram-row merge). Emits HIST_SCHEMA rows."""
+    import time as _time
+
+    from ..kernels.shepherd import do_shepherd_segmentation
+
+    cfg_b = cfg
+    has_k = "num_clusters" in images_df.columns
+    cols = ["image_id", "bytes", "w", "h", "fmt"] + (
+        ["num_clusters"] if has_k else [])
+
+    def kernel(batches):
+        from ..sources.codec import decode_image
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                t0 = _time.time()
+                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                res = do_shepherd_segmentation(
+                    img,
+                    num_clusters=int(getattr(row, "num_clusters",
+                                             cfg_b.num_clusters)
+                                     or cfg_b.num_clusters),
+                    min_segment_size=cfg_b.min_segment_size,
+                    max_spectral_diff=cfg_b.max_spectral_diff,
+                    img_null_val=cfg_b.img_null_val,
+                    four_connected=cfg_b.four_connected,
+                    fixed_kmeans_init=cfg_b.fixed_kmeans_init,
+                    spect_dist_pcntile=cfg_b.spect_dist_pcntile,
+                    max_clump_size=cfg_b.max_clump_size)
+                seg = res.segimg.ravel().astype(np.int64)
+                valid = seg > 0
+                for b in range(img.shape[0]):
+                    v = img[b].ravel().astype(np.int64)
+                    m = valid
+                    if cfg_b.img_null_val is not None:
+                        m = m & (v != cfg_b.img_null_val)
+                    if not m.any():
+                        continue
+                    key = (seg[m] << np.int64(17)) | v[m]
+                    uk, cnt = np.unique(key, return_counts=True)
+                    frames.append(pd.DataFrame({
+                        "image_id": row.image_id,
+                        "seg_id": uk >> 17,
+                        "band": b,
+                        "val": uk & ((1 << 17) - 1),
+                        "cnt": cnt}))
+                _ = t0
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame(columns=[
+                       "image_id", "seg_id", "band", "val", "cnt"]))
+
+    part = images_df.select(*cols).mapInPandas(kernel, HIST_SCHEMA)
+    return (part.groupBy("image_id", "seg_id", "band", "val")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
 def segment_stats(hist, percentiles=(50,)):
     """Stage 2: exact stat finalizers over the value histogram.
 

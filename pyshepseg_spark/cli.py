@@ -1,0 +1,121 @@
+"""Command-line entry points (parity with the reference's cmdline/
+surface: run_seg, subset, runtests — /root/reference/pyshepseg/
+cmdline/*). Spark-native: every command builds a session and runs
+the DataFrame pipeline.
+
+Usage:
+  python -m pyshepseg_spark.cli segment --images in.parquet \
+      --out seg_tiles.parquet [--tilesize 256 --overlap 64 ...]
+  python -m pyshepseg_spark.cli stats --final final.parquet \
+      --out stats.parquet --percentiles 25,50,75
+  python -m pyshepseg_spark.cli subset --final final.parquet \
+      --bbox x0,y0,w,h --out subset.parquet
+  python -m pyshepseg_spark.cli gen --n 64 --size 512 --out imgs.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _session(args):
+    from .session import get_spark
+    return get_spark(master=args.master,
+                     shuffle_partitions=args.shuffle_partitions)
+
+
+def _add_common(p):
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def cmd_gen(args):
+    spark = _session(args)
+    from .sources.imagegen import images_spark_df
+    images_spark_df(spark, args.n, size=args.size, seed=args.seed) \
+        .write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.n} images to {args.out}")
+
+
+def cmd_segment(args):
+    spark = _session(args)
+    from .operators.segment import SegConfig, segment_images_tiled
+    cfg = SegConfig(img_null_val=args.null_val,
+                    four_connected=args.four_connected,
+                    min_segment_size=args.min_segment_size,
+                    num_clusters=args.num_clusters,
+                    tile_size=args.tilesize, overlap=args.overlap)
+    images = spark.read.parquet(args.images)
+    final, seg_tiles, _ = segment_images_tiled(images, cfg)
+    final.write.mode("overwrite").parquet(args.out)
+    print(f"wrote stitched tiles to {args.out}")
+
+
+def cmd_stats(args):
+    spark = _session(args)
+    from .operators.zonal import segment_stats, tile_value_histogram
+    final = spark.read.parquet(args.final)
+    pcts = tuple(int(p) for p in args.percentiles.split(","))
+    hist = tile_value_histogram(final, img_null_val=args.null_val)
+    segment_stats(hist, percentiles=pcts) \
+        .write.mode("overwrite").parquet(args.out)
+    print(f"wrote per-segment stats to {args.out}")
+
+
+def cmd_subset(args):
+    spark = _session(args)
+    from .operators.subset import subset_segmentation
+    final = spark.read.parquet(args.final)
+    x0, y0, w, h = (int(v) for v in args.bbox.split(","))
+    pieces, mapping = subset_segmentation(final, x0, y0, w, h)
+    pieces.write.mode("overwrite").parquet(args.out)
+    mapping.write.mode("overwrite").parquet(args.out + ".mapping")
+    print(f"wrote subset to {args.out} (+ .mapping)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("pyshepseg_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate synthetic images table")
+    g.add_argument("--n", type=int, default=16)
+    g.add_argument("--size", type=int, default=512)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+    _add_common(g)
+    g.set_defaults(fn=cmd_gen)
+
+    s = sub.add_parser("segment", help="tiled segmentation")
+    s.add_argument("--images", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--tilesize", type=int, default=4096)
+    s.add_argument("--overlap", type=int, default=1024)
+    s.add_argument("--num-clusters", type=int, default=60)
+    s.add_argument("--min-segment-size", type=int, default=50)
+    s.add_argument("--null-val", type=int, default=None)
+    s.add_argument("--four-connected", action="store_true")
+    _add_common(s)
+    s.set_defaults(fn=cmd_segment)
+
+    st = sub.add_parser("stats", help="per-segment zonal stats")
+    st.add_argument("--final", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--percentiles", default="50")
+    st.add_argument("--null-val", type=int, default=None)
+    _add_common(st)
+    st.set_defaults(fn=cmd_stats)
+
+    su = sub.add_parser("subset", help="bbox subset + dense recode")
+    su.add_argument("--final", required=True)
+    su.add_argument("--bbox", required=True,
+                    help="x0,y0,width,height")
+    su.add_argument("--out", required=True)
+    _add_common(su)
+    su.set_defaults(fn=cmd_subset)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,15 +109,18 @@ def generate_images_pdf(n_images, size=512, seed=42, fmt="png",
 
 
 def images_spark_df(spark, n_images, size=512, seed=42, fmt="png",
-                    num_partitions=None):
+                    num_partitions=None, include_k=True):
     """The images table as a Spark DataFrame with the input_hint
-    schema. Generation happens on executors (mapInPandas over an index
-    range) so the fixture scales without driver memory pressure."""
+    schema (+ a num_clusters column when include_k, mirroring the
+    reference test's numClusters = true region count,
+    runtests.py:97). Generation happens on executors (mapInPandas
+    over an index range) so the fixture scales without driver memory
+    pressure."""
     from pyspark.sql import functions as F  # noqa: F401
     from pyspark.sql.types import (BinaryType, IntegerType, LongType,
                                    StringType, StructField, StructType)
 
-    schema = StructType([
+    fields = [
         StructField("image_id", StringType()),
         StructField("bytes", BinaryType()),
         StructField("w", IntegerType()),
@@ -125,14 +128,23 @@ def images_spark_df(spark, n_images, size=512, seed=42, fmt="png",
         StructField("fmt", StringType()),
         StructField("caption", StringType()),
         StructField("phash", LongType()),
-    ])
+    ]
+    if include_k:
+        fields.append(StructField("num_clusters", IntegerType()))
+    schema = StructType(fields)
     npart = num_partitions or min(n_images, 32)
     idx = spark.range(0, n_images, 1, npart)
 
     def gen(batches):
         for pdf in batches:
-            out = [generate_image(int(i), size=size, seed=seed, fmt=fmt)[0]
-                   for i in pdf["id"]]
+            out = []
+            for i in pdf["id"]:
+                row, _ = generate_image(int(i), size=size, seed=seed,
+                                        fmt=fmt)
+                if include_k:
+                    row["num_clusters"] = np.int32(
+                        int(row["caption"].split(": ")[1].split()[0]))
+                out.append(row)
             yield pd.DataFrame(out)
 
     return idx.mapInPandas(gen, schema)

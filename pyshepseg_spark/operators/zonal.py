@@ -191,35 +191,40 @@ def segment_stats(hist, percentiles=(50,)):
     no UDFs in this stage.
     """
     g = ["image_id", "seg_id", "band"]
-    base = (hist.groupBy(*g).agg(
+    # ONE window pass (cumulative + total counts share the sort) and
+    # ONE aggregation: the histogram — and therefore everything
+    # upstream of it — is scanned exactly once. Percentiles are
+    # conditional mins over the cumulative counts; mode is
+    # max_by(val, (cnt, -val)); variance is single-pass in doubles
+    # (values <= 2^17 keep E[x^2]-E[x]^2 well above the double noise
+    # floor).
+    w_cum = (Window.partitionBy(*g).orderBy("val")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy(*g)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    h = (hist.withColumn("cum", F.sum("cnt").over(w_cum))
+         .withColumn("n", F.sum("cnt").over(w_all)))
+    vc = F.col("val").cast("double") * F.col("cnt")
+    v2c = (F.col("val").cast("double") * F.col("val").cast("double")
+           * F.col("cnt"))
+    mean = F.sum(vc) / F.sum("cnt")
+    aggs = [
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
         F.sum("cnt").alias("pix_count"),
-        (F.sum(F.col("val") * F.col("cnt"))
-         / F.sum("cnt")).alias("mean_val"),
+        mean.alias("mean_val"),
+        F.sqrt(F.greatest(F.sum(v2c) / F.sum("cnt") - mean * mean,
+                          F.lit(0.0))).alias("stddev_val"),
         F.max_by("val", F.struct(F.col("cnt"),
                                  (-F.col("val")).alias("nv")))
-        .alias("mode_val")))
-    # population stddev from the histogram (second pass avoids
-    # catastrophic cancellation of E[x^2]-E[x]^2 for large values)
-    withmean = hist.join(base.select(*g, "mean_val"), g)
-    sd = (withmean.groupBy(*g)
-          .agg(F.sqrt(F.sum(F.col("cnt")
-                            * F.pow(F.col("val") - F.col("mean_val"), 2))
-                      / F.sum("cnt")).alias("stddev_val")))
-    out = base.join(sd, g)
-
-    # exact percentiles via cumulative-count window over value order
-    w = Window.partitionBy(*g).orderBy("val") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)) \
-              .join(base.select(*g, "pix_count"), g)
+        .alias("mode_val"),
+    ]
     for p in percentiles:
-        col = f"p{p:02d}_val"
-        sel = (cum.filter(
-            F.col("cum") >= F.col("pix_count") * F.lit(p) / F.lit(100))
-            .groupBy(*g).agg(F.min("val").alias(col)))
-        out = out.join(sel, g, "left")
+        aggs.append(F.min(F.when(
+            F.col("cum") >= F.col("n") * F.lit(p) / F.lit(100),
+            F.col("val"))).alias(f"p{p:02d}_val"))
+    out = h.groupBy(*g).agg(*aggs)
     if 50 in percentiles:
         out = out.withColumn("median_val", F.col("p50_val"))
     return out

@@ -66,7 +66,9 @@ class SegConfig:
 SEG_TILE_SCHEMA = (
     "image_id string, tcol int, trow int, ntcols int, ntrows int, "
     "xpos int, ypos int, xsize int, ysize int, nbands int, "
-    "pixels binary, segtile binary, nseg int, anchored binary, "
+    "pixels binary, segtile binary, nseg int, anchored array<long>, "
+    "strip_top binary, strip_left binary, strip_bottom binary, "
+    "strip_right binary, "
     "n_single_elim int, n_small_elim int, seg_secs double"
 )
 
@@ -144,23 +146,29 @@ def _trim_bounds(tc, tr, ntc, ntr, xs, ys, margin):
 
 def segment_tiles(tiles_df, centres, cfg: SegConfig):
     """doOne phase: run the Shepherd kernel on every tile
-    (mapInPandas; no shuffle beyond the broadcast-join of the tiny
-    per-image centres table). Emits local uint32 seg ids, the list of
-    'anchored' local ids (segments whose bbox min lies in the trimmed
-    core — the reference's fresh-ID rule, tiling.py:1250-1267), and
-    per-tile metrics for the lineage table.
+    (mapInPandas; no shuffle). Emits local uint32 seg ids, the list
+    of 'anchored' local ids (segments whose bbox min lies in the
+    trimmed core — the reference's fresh-ID rule,
+    tiling.py:1250-1267), the four boundary strips (so the stitch
+    never re-reads the fat tile rows), and per-tile metrics for the
+    lineage table.
 
-    ``centres`` is either a numpy (k, nbands) matrix (shared across
-    all images — the giant-single-raster mode) or the per-image
-    centres DataFrame from :func:`fit_centres_per_image`."""
+    ``centres``: None if tiles_df already carries a per-image
+    ``centres`` column (the fused explode_tiles path — preferred), a
+    numpy (k, nbands) matrix (giant-single-raster mode), or the
+    per-image centres DataFrame from :func:`fit_centres_per_image`."""
     margin = cfg.overlap // 2
+    overlap = cfg.overlap
     cfg_b = cfg
-    if isinstance(centres, np.ndarray):
-        shared = centres.astype("<f8").tobytes()
-        nb = centres.shape[1]
+    if centres is None:
+        if "centres" not in tiles_df.columns:
+            raise ValueError("tiles_df lacks 'centres'; pass "
+                             "fit_cfg to explode_tiles or supply "
+                             "centres")
+    elif isinstance(centres, np.ndarray):
         tiles_df = tiles_df.withColumn(
-            "centres", F.lit(bytearray(shared)))
-        _ = nb
+            "centres", F.lit(bytearray(centres.astype(
+                "<f8").tobytes())))
     else:
         tiles_df = tiles_df.join(
             F.broadcast(centres.select("image_id", "centres")),
@@ -201,7 +209,13 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
                     sel = np.arange(1, nseg + 1)
                     ok = ((minc[sel] >= left) & (minr[sel] >= top)
                           & (minc[sel] < right) & (minr[sel] < bottom))
-                    anchored = sel[ok]
+                    anchored = sel[ok].tolist()
+
+                def strip(cond, arr):
+                    return (np.ascontiguousarray(arr)
+                            .astype("<u4").tobytes() if cond
+                            else None)
+
                 out.append({
                     "image_id": row.image_id,
                     "tcol": row.tcol, "trow": row.trow,
@@ -212,8 +226,19 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
                     "pixels": row.pixels,
                     "segtile": seg.astype("<u4").tobytes(),
                     "nseg": nseg,
-                    "anchored": np.asarray(anchored,
-                                           dtype="<i8").tobytes(),
+                    "anchored": anchored,
+                    # consumer strips (top/left overlaps) and
+                    # producer strips (bottom/right), local ids
+                    "strip_top": strip(row.trow > 0,
+                                       seg[:overlap, :]),
+                    "strip_left": strip(row.tcol > 0,
+                                        seg[:, :overlap]),
+                    "strip_bottom": strip(
+                        row.trow < row.ntrows - 1,
+                        seg[-overlap:, :]),
+                    "strip_right": strip(
+                        row.tcol < row.ntcols - 1,
+                        seg[:, -overlap:]),
                     "n_single_elim": int(res.single_pixels_eliminated),
                     "n_small_elim": int(res.small_segments_eliminated),
                     "seg_secs": time.time() - t0,
@@ -221,8 +246,9 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
             yield pd.DataFrame(out, columns=[
                 "image_id", "tcol", "trow", "ntcols", "ntrows",
                 "xpos", "ypos", "xsize", "ysize", "nbands", "pixels",
-                "segtile", "nseg", "anchored", "n_single_elim",
-                "n_small_elim", "seg_secs"])
+                "segtile", "nseg", "anchored", "strip_top",
+                "strip_left", "strip_bottom", "strip_right",
+                "n_single_elim", "n_small_elim", "seg_secs"])
 
     return tiles_df.mapInPandas(kernel, SEG_TILE_SCHEMA)
 
@@ -242,66 +268,65 @@ STRIP_SCHEMA = ("image_id string, axis string, ktc int, ktr int, "
 
 
 def extract_strips(seg_tiles_off, overlap: int):
-    """Boundary strips as gid (int64) arrays, keyed by the consumer
-    tile. Producer strips are the bottom/right overlap bands
-    (tiling.py:1037-1040); consumer strips are the top/left overlap
-    of each tile (tiling.py:1101-1102)."""
-
-    def kernel(batches):
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                seg = np.frombuffer(row.segtile, dtype="<u4").reshape(
-                    row.ysize, row.xsize).astype(np.int64)
-                gid = np.where(seg > 0, seg + row.offset, 0)
-
-                def emit(axis, ktc, ktr, role, arr):
-                    out.append({
-                        "image_id": row.image_id, "axis": axis,
-                        "ktc": int(ktc), "ktr": int(ktr), "role": role,
-                        "srows": arr.shape[0], "scols": arr.shape[1],
-                        "strip": arr.astype("<i8").tobytes()})
-
-                if row.trow > 0:
-                    emit("H", row.tcol, row.trow, "A", gid[:overlap, :])
-                if row.tcol > 0:
-                    emit("V", row.tcol, row.trow, "A", gid[:, :overlap])
-                if row.trow < row.ntrows - 1:
-                    emit("H", row.tcol, row.trow + 1, "B",
-                         gid[-overlap:, :])
-                if row.tcol < row.ntcols - 1:
-                    emit("V", row.tcol + 1, row.trow, "B",
-                         gid[:, -overlap:])
-            yield pd.DataFrame(out, columns=[
-                "image_id", "axis", "ktc", "ktr", "role", "srows",
-                "scols", "strip"])
-
-    cols = ["image_id", "tcol", "trow", "ntcols", "ntrows", "xsize",
-            "ysize", "segtile", "offset"]
-    return seg_tiles_off.select(*cols).mapInPandas(kernel, STRIP_SCHEMA)
+    """Boundary strips keyed by the consumer tile, as a PURE SQL
+    explode over the strip columns the segment kernel already emitted
+    (local uint32 ids + the tile's gid offset). Producer strips are
+    the bottom/right overlap bands (tiling.py:1037-1040); consumer
+    strips the top/left overlaps (tiling.py:1101-1102). No kernel —
+    the fat tile rows are never re-read."""
+    s = F.struct
+    specs = F.array(
+        s(F.lit("H").alias("axis"), F.col("tcol").alias("ktc"),
+          F.col("trow").alias("ktr"), F.lit("A").alias("role"),
+          F.lit(overlap).alias("srows"), F.col("xsize").alias("scols"),
+          F.col("strip_top").alias("strip")),
+        s(F.lit("V").alias("axis"), F.col("tcol").alias("ktc"),
+          F.col("trow").alias("ktr"), F.lit("A").alias("role"),
+          F.col("ysize").alias("srows"), F.lit(overlap).alias("scols"),
+          F.col("strip_left").alias("strip")),
+        s(F.lit("H").alias("axis"), F.col("tcol").alias("ktc"),
+          (F.col("trow") + 1).alias("ktr"), F.lit("B").alias("role"),
+          F.lit(overlap).alias("srows"), F.col("xsize").alias("scols"),
+          F.col("strip_bottom").alias("strip")),
+        s(F.lit("V").alias("axis"), (F.col("tcol") + 1).alias("ktc"),
+          F.col("trow").alias("ktr"), F.lit("B").alias("role"),
+          F.col("ysize").alias("srows"), F.lit(overlap).alias("scols"),
+          F.col("strip_right").alias("strip")))
+    return (seg_tiles_off
+            .select("image_id", "offset",
+                    F.explode(F.filter(
+                        specs, lambda e: e["strip"].isNotNull()))
+                    .alias("e"))
+            .select("image_id", "offset", "e.axis", "e.ktc", "e.ktr",
+                    "e.role", "e.srows", "e.scols", "e.strip"))
 
 
 def correspondence_edges(strips):
     """J1: bounded-neighbour equi-join of consumer (A) and producer
     (B) strips on (image_id, axis, tile key), then a per-pair kernel
     emitting (gid_a -> mode of B under footprint) for every A-segment
-    crossing the overlap midline (tiling.py:1128-1306)."""
+    crossing the overlap midline (tiling.py:1128-1306). Strips carry
+    local ids; the pair kernel applies each side's gid offset."""
     a = strips.filter(F.col("role") == "A").select(
         "image_id", "axis", "ktc", "ktr", "srows", "scols",
-        F.col("strip").alias("strip_a"))
+        F.col("strip").alias("strip_a"),
+        F.col("offset").alias("off_a"))
     b = strips.filter(F.col("role") == "B").select(
         "image_id", "axis", "ktc", "ktr",
-        F.col("strip").alias("strip_b"))
+        F.col("strip").alias("strip_b"),
+        F.col("offset").alias("off_b"))
     pairs = a.join(b, ["image_id", "axis", "ktc", "ktr"])
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
-                sa = np.frombuffer(row.strip_a, dtype="<i8").reshape(
-                    row.srows, row.scols)
-                sb = np.frombuffer(row.strip_b, dtype="<i8").reshape(
-                    row.srows, row.scols)
+                sa = np.frombuffer(row.strip_a, dtype="<u4").reshape(
+                    row.srows, row.scols).astype(np.int64)
+                sb = np.frombuffer(row.strip_b, dtype="<u4").reshape(
+                    row.srows, row.scols).astype(np.int64)
+                sa = np.where(sa > 0, sa + row.off_a, 0)
+                sb = np.where(sb > 0, sb + row.off_b, 0)
                 n = 0 if row.axis == "H" else 1
                 mid = sa.shape[n] // 2
                 flat = sa.ravel()
@@ -429,7 +454,7 @@ def build_mapping(seg_tiles_off, cc_labels):
     """
     anchored = seg_tiles_off.select(
         "image_id", "offset",
-        F.explode(_anchored_array(F.col("anchored"))).alias("local"))
+        F.explode("anchored").alias("local"))
     anchored = anchored.select(
         "image_id", (F.col("local") + F.col("offset")).alias("gid"))
     roots = (anchored.join(cc_labels,
@@ -457,21 +482,6 @@ def build_mapping(seg_tiles_off, cc_labels):
                        F.coalesce(F.col("final"),
                                   F.lit(0)).alias("final")))
     return mapping
-
-
-def _anchored_array(col):
-    """binary little-endian int64 array column -> array<long>."""
-    # Spark has no direct binary->array<long> cast; decode via an
-    # inline pandas UDF would force a kernel, so we use the compact
-    # trick: the anchored list is small, stored as int64 bytes.
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    @pandas_udf("array<long>")
-    def decode(b: pd.Series) -> pd.Series:
-        return b.map(lambda x: [] if x is None
-                     else np.frombuffer(x, dtype="<i8").tolist())
-
-    return decode(col)
 
 
 FINAL_TILE_SCHEMA = (
@@ -555,8 +565,11 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None):
     mode.
     """
     if centres is None:
-        centres = fit_centres_per_image(images_df, cfg)
-    tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
+        # fused path: fit + decode + tile slice in ONE kernel pass
+        tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap,
+                              fit_cfg=cfg)
+    else:
+        tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
     seg_tiles = segment_tiles(tiles, centres, cfg)
     final = stitch(seg_tiles, cfg)
     return final, seg_tiles, centres

@@ -32,6 +32,8 @@ TILE_SCHEMA = (
     "cell long, pixels binary"
 )
 
+TILE_SCHEMA_WITH_CENTRES = TILE_SCHEMA + ", centres binary"
+
 
 def tile_grid(w: int, h: int, tile_size: int, overlap: int):
     """List of (tcol, trow, xpos, ypos, xsize, ysize) covering an
@@ -76,26 +78,50 @@ def morton_cell(x: int, y: int, bits: int = 16) -> int:
 
 
 def explode_tiles(images_df, tile_size: int, overlap: int,
-                  cell_shift: int = 8):
+                  cell_shift: int = 8, fit_cfg=None):
     """images DataFrame -> tiles DataFrame (one row per overlapping
     tile, pixels re-encoded raw_u16). Runs as mapInPandas: narrow,
-    no shuffle; Catalyst prunes unused image columns upstream."""
+    no shuffle; Catalyst prunes unused image columns upstream.
+
+    With ``fit_cfg`` (a SegConfig) the per-image deterministic
+    k-means fit is FUSED into the same kernel — each image is decoded
+    exactly once, and every tile row carries its image's centre
+    matrix (a few hundred bytes), replacing a separate fit stage plus
+    broadcast join."""
     if overlap % 2 != 0:
         raise ValueError("overlap size must be even")  # tiling.py:746
     if tile_size <= 2 * overlap:
         raise ValueError("tile_size must exceed 2*overlap")
+    has_k = fit_cfg is not None and "num_clusters" in images_df.columns
 
     def kernel(batches):
+        from ..kernels.kmeans import fit_spectral_clusters_sample
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 img = decode_image(row.bytes, row.fmt, row.w, row.h)
                 nbands = img.shape[0]
+                centres_bytes = None
+                if fit_cfg is not None:
+                    x = img.transpose(1, 2, 0).reshape(-1, nbands)
+                    if fit_cfg.img_null_val is not None:
+                        x = x[(x != fit_cfg.img_null_val).all(axis=1)]
+                    k = int(getattr(row, "num_clusters",
+                                    fit_cfg.num_clusters)
+                            or fit_cfg.num_clusters) if has_k \
+                        else fit_cfg.num_clusters
+                    npix = x.shape[0]
+                    target = min(npix, max(npix // 100, k * 200,
+                                           2000))
+                    x = x[::max(1, npix // target)].astype(np.float64)
+                    centres_bytes = fit_spectral_clusters_sample(
+                        x, k, fit_cfg.fixed_kmeans_init
+                    ).astype("<f8").tobytes()
                 tiles, ntcols, ntrows = tile_grid(
                     row.w, row.h, tile_size, overlap)
                 for (tc, tr, xp, yp, xs, ys) in tiles:
                     sub = img[:, yp:yp + ys, xp:xp + xs]
-                    out.append({
+                    rec = {
                         "image_id": row.image_id,
                         "tcol": tc, "trow": tr,
                         "ntcols": ntcols, "ntrows": ntrows,
@@ -105,14 +131,23 @@ def explode_tiles(images_df, tile_size: int, overlap: int,
                         "cell": morton_cell(xp >> cell_shift,
                                             yp >> cell_shift),
                         "pixels": encode_raw_u16(sub),
-                    })
-            yield pd.DataFrame(out, columns=[
-                "image_id", "tcol", "trow", "ntcols", "ntrows",
-                "xpos", "ypos", "xsize", "ysize", "nbands", "cell",
-                "pixels"])
+                    }
+                    if fit_cfg is not None:
+                        rec["centres"] = centres_bytes
+                    out.append(rec)
+            cols = ["image_id", "tcol", "trow", "ntcols", "ntrows",
+                    "xpos", "ypos", "xsize", "ysize", "nbands",
+                    "cell", "pixels"]
+            if fit_cfg is not None:
+                cols.append("centres")
+            yield pd.DataFrame(out, columns=cols)
 
     cols = ["image_id", "bytes", "w", "h", "fmt"]
-    return images_df.select(*cols).mapInPandas(kernel, TILE_SCHEMA)
+    if has_k:
+        cols.append("num_clusters")
+    schema = (TILE_SCHEMA_WITH_CENTRES if fit_cfg is not None
+              else TILE_SCHEMA)
+    return images_df.select(*cols).mapInPandas(kernel, schema)
 
 
 def decode_tile_pixels(pixels: bytes, nbands: int, ysize: int,

@@ -83,16 +83,15 @@ def run_segmentation_checkpointed(spark, images_df, cfg, ckpt_dir,
     Returns (final_tiles_df, lineage). Stage-1 output is durable; the
     stitch re-derives from it (stitch is cheap relative to kernels
     and deterministic, so re-running it on resume is safe)."""
-    from ..operators.segment import (fit_centres_per_image, stitch)
+    from ..operators.segment import stitch
     from ..operators.tiling import explode_tiles, tile_metrics
 
     lin = LineageLog(run_id)
     t0 = time.time()
-    centres = fit_centres_per_image(images_df, cfg)
-    tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
+    tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap,
+                          fit_cfg=cfg)
     seg_tiles = resume_segment_tiles(
-        spark, tiles, centres, cfg, os.path.join(ckpt_dir,
-                                                 "seg_tiles"))
+        spark, tiles, None, cfg, os.path.join(ckpt_dir, "seg_tiles"))
     lin.record("segment", wall_s=time.time() - t0)
     t1 = time.time()
     final = stitch(seg_tiles, cfg)

@@ -47,3 +47,26 @@ def get_spark(app_name: str = "pyshepseg_spark",
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark, n: int | None = None):
+    """Pre-fork and warm one python worker per core: each forked
+    worker pays ~1s importing numpy/pandas (+ this package) on its
+    first Arrow UDF; paying it once up front keeps kernel stages from
+    serializing on cold imports (workers are reused across stages —
+    spark.python.worker.reuse defaults true)."""
+    import pandas as pd  # noqa: F401
+
+    n = n or spark.sparkContext.defaultParallelism
+
+    def k(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyshepseg_spark.kernels.shepherd  # noqa: F401
+        import time as _t
+        _t.sleep(0.2)  # hold the worker so all n fork concurrently
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, n, 1, n).mapInPandas(k, "id long") \
+        .write.format("noop").mode("overwrite").save()

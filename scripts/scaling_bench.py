@@ -74,14 +74,26 @@ def tiled(df):
     noop(segment_stats(tile_value_histogram(final,
         img_null_val=65535), percentiles=(50,)))
 
-warm = images.limit({n})
-flagship(warm)          # warmup: python workers, codegen, Arrow
+from pyshepseg_spark.session import warm_python_workers
+warm_python_workers(spark)
+
+def best_of(fn, arg, reps=2):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn(arg)
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
 fl = images.limit({flagship_images}).repartition({n} * 2).cache()
 n_fl = fl.count()
-t0 = time.time(); flagship(fl); t_f = time.time() - t0
+flagship(fl)            # warmup pass (workers, codegen, Arrow)
+t_f = best_of(flagship, fl)
 ti = images.limit({tiled_images}).repartition({n} * 2).cache()
 n_ti = ti.count()
-t0 = time.time(); tiled(ti);    t_t = time.time() - t0
+tiled(ti)               # warmup pass
+t_t = best_of(tiled, ti)
 print("RESULT " + json.dumps({{
     "cores": {n},
     "flagship_images": n_fl,

@@ -263,10 +263,6 @@ def with_offsets(seg_tiles):
         "offset", F.coalesce(F.sum("nseg").over(w), F.lit(0)))
 
 
-STRIP_SCHEMA = ("image_id string, axis string, ktc int, ktr int, "
-                "role string, srows int, scols int, strip binary")
-
-
 def extract_strips(seg_tiles_off, overlap: int):
     """Boundary strips keyed by the consumer tile, as a PURE SQL
     explode over the strip columns the segment kernel already emitted

@@ -97,14 +97,45 @@ def subset_recode_mapping(pieces, subset_width):
         .select("image_id", "orig_val", "new_id")
 
 
-def subset_segmentation(final_tiles, x0, y0, xs, ys):
+def apply_mask(pieces, mask_fn):
+    """Optional mask filter (reference subset.py:399-401: pixels
+    where the mask is zero become null before the recode).
+    ``mask_fn(image_id, px, py, pw, ph) -> bool ndarray (ph, pw)``
+    evaluated inside the kernel (e.g. a broadcast raster lookup or a
+    geometric predicate)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segdata, dtype="<i8").reshape(
+                    row.ph, row.pw).copy()
+                keep = mask_fn(row.image_id, row.px, row.py,
+                               row.pw, row.ph)
+                seg[~keep] = 0
+                out.append({
+                    "image_id": row.image_id,
+                    "px": row.px, "py": row.py,
+                    "pw": row.pw, "ph": row.ph,
+                    "segdata": seg.astype("<i8").tobytes()})
+            yield pd.DataFrame(out, columns=[
+                "image_id", "px", "py", "pw", "ph", "segdata"])
+
+    return pieces.mapInPandas(kernel, PIECE_SCHEMA)
+
+
+def subset_segmentation(final_tiles, x0, y0, xs, ys, mask_fn=None):
     """Returns (sub_pieces_recoded, mapping).
 
     mapping (image_id, orig_val, new_id) is J4's recode join input:
     relocate per-segment stats with
     ``old_stats.join(mapping, old_stats.seg_id == mapping.orig_val)``.
+    ``mask_fn`` optionally nulls masked pixels before the recode
+    (reference subset.py maskFilePath semantics).
     """
     pieces = _crop_pieces(final_tiles, x0, y0, xs, ys)
+    if mask_fn is not None:
+        pieces = apply_mask(pieces, mask_fn)
     mapping = subset_recode_mapping(pieces, xs)
     mlist = (mapping.groupBy("image_id")
              .agg(F.collect_list(F.struct("orig_val",

@@ -133,10 +133,27 @@ def main():
     if "GEN OK" not in gen.stdout:
         raise RuntimeError(gen.stdout[-2000:] + gen.stderr[-2000:])
 
+    # interleave levels across rounds and keep each level's best
+    # throughput: the shared host's available CPU drifts over
+    # minutes, and interleaving cancels that drift out of the ratio
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     levels = {}
-    for n in (2, 8, 32):
-        levels[n] = run_level(n, path, flagship_images, tiled_images)
-        print(json.dumps(levels[n]))
+    for r in range(rounds):
+        for n in (2, 8, 32):
+            res = run_level(n, path, flagship_images, tiled_images)
+            print(f"round {r}: " + json.dumps(res))
+            cur = levels.get(n)
+            if cur is None:
+                levels[n] = res
+            else:
+                for key in ("flagship", "tiled"):
+                    if (res[f"{key}_img_per_sec"]
+                            > cur[f"{key}_img_per_sec"]):
+                        for suffix in ("_sec", "_img_per_sec"):
+                            cur[key + suffix] = res[key + suffix]
+                        if key == "tiled":
+                            cur["tiled_tiles_per_sec"] = \
+                                res["tiled_tiles_per_sec"]
 
     def eff(lo, hi, key):
         return round((levels[hi][key] / levels[lo][key]) / 4, 3)

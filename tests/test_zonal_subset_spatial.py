@@ -150,3 +150,26 @@ def test_knn_matches_brute_force(spark, images_fixture, final_tiles):
                     & (got.point_id == r.point_id)]
             if len(g):  # ring may miss only when no centroid nearby
                 assert g.iloc[0].seg_id == best
+
+
+def test_subset_with_mask(spark, images_fixture, final_tiles):
+    """Mask filter: pixels where the mask is zero become null before
+    the recode (reference subset.py:399-401)."""
+    import numpy as np
+    from pyshepseg_spark.operators.subset import subset_segmentation
+    q = SIZE // 4
+
+    def mask_fn(image_id, px, py, pw, ph):
+        # keep only the left half of the subset window
+        yy, xx = np.mgrid[py:py + ph, px:px + pw]
+        return xx < q
+
+    sub, mapping = subset_segmentation(final_tiles, q, q, 2 * q,
+                                       2 * q, mask_fn=mask_fn)
+    sp = sub.toPandas()
+    pdf, _, _ = images_fixture
+    iid = pdf.image_id.iloc[0]
+    s = assemble_subset(sp[sp.image_id == iid], 2 * q, 2 * q)
+    assert (s[:, q:] == 0).all()          # masked half nulled
+    ids = np.unique(s[s > 0])
+    assert len(ids) > 0 and ids.min() == 1 and ids.max() == len(ids)

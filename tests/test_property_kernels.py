@@ -1,0 +1,65 @@
+"""Property-based kernel tests (hypothesis)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyshepseg_spark.kernels.shepherd import (clump, clump_slow,
+                                              make_seg_size,
+                                              relabel_segments)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(2, 24), st.integers(2, 24),
+    st.integers(0, 2 ** 31 - 1),
+    st.booleans(),
+    st.sampled_from([5, 9, 10000]),
+)
+def test_clump_equals_sequential_dfs(h, w, seed, four_conn, cap):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 3, (h, w)).astype(np.uint16)
+    a, na = clump(img, 2, four_connected=four_conn,
+                  max_clump_size=cap)
+    b, nb = clump_slow(img, 2, four_connected=four_conn,
+                       max_clump_size=cap)
+    assert na == nb
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(2, 20), st.integers(2, 20),
+       st.integers(0, 2 ** 31 - 1))
+def test_clump_partition_properties(h, w, seed):
+    """Structural invariants: null pixels stay 0; every clump is
+    uniform in input value; IDs are dense 1..n."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 4, (h, w)).astype(np.uint16)
+    out, nxt = clump(img, 3, four_connected=True)
+    assert ((img == 3) == (out == 0)).all()
+    n = nxt - 1
+    if n:
+        sizes = np.bincount(out.ravel(), minlength=n + 1)
+        assert (sizes[1:] > 0).all()
+        for cid in range(1, n + 1):
+            vals = img[out == cid]
+            assert (vals == vals[0]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 16), st.integers(2, 16),
+       st.integers(0, 2 ** 31 - 1))
+def test_relabel_makes_ids_contiguous(h, w, seed):
+    rng = np.random.default_rng(seed)
+    # sparse ids with holes
+    seg = rng.choice([0, 1, 3, 7, 9], size=(h, w)).astype(np.uint32)
+    sizes = make_seg_size(seg)
+    before_partition = seg.copy()
+    relabel_segments(seg, sizes, 1)
+    ids = np.unique(seg[seg > 0])
+    if len(ids):
+        assert ids.min() == 1 and ids.max() == len(ids)
+    # relabel preserves the partition (same-group pixels stay same)
+    for old in np.unique(before_partition):
+        cells = before_partition == old
+        assert len(np.unique(seg[cells])) == 1

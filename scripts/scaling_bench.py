@@ -133,18 +133,22 @@ def main():
     if "GEN OK" not in gen.stdout:
         raise RuntimeError(gen.stdout[-2000:] + gen.stderr[-2000:])
 
-    # interleave levels across rounds and keep each level's best
-    # throughput: the shared host's available CPU drifts over
-    # minutes, and interleaving cancels that drift out of the ratio
+    # interleave levels across rounds: the shared host's available
+    # CPU drifts over minutes, so efficiency is computed WITHIN each
+    # round (adjacent-in-time runs) and the median across rounds is
+    # reported; per-level throughput is the per-level best.
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    all_rounds = []
     levels = {}
     for r in range(rounds):
+        this = {}
         for n in (2, 8, 32):
             res = run_level(n, path, flagship_images, tiled_images)
-            print(f"round {r}: " + json.dumps(res))
+            print(f"round {r}: " + json.dumps(res), flush=True)
+            this[n] = res
             cur = levels.get(n)
             if cur is None:
-                levels[n] = res
+                levels[n] = dict(res)
             else:
                 for key in ("flagship", "tiled"):
                     if (res[f"{key}_img_per_sec"]
@@ -154,12 +158,30 @@ def main():
                         if key == "tiled":
                             cur["tiled_tiles_per_sec"] = \
                                 res["tiled_tiles_per_sec"]
+        all_rounds.append(this)
+
+    def med(vals):
+        s = sorted(vals)
+        return s[len(s) // 2]
+
+    def round_effs(lo, hi, key):
+        return [round((r[hi][key] / r[lo][key]) / 4, 3)
+                for r in all_rounds]
 
     def eff(lo, hi, key):
-        return round((levels[hi][key] / levels[lo][key]) / 4, 3)
+        return med(round_effs(lo, hi, key))
 
     result = {
         "levels": levels,
+        "rounds": all_rounds,
+        "round_efficiencies": {
+            "flagship_2_to_8": round_effs(2, 8,
+                                          "flagship_img_per_sec"),
+            "tiled_2_to_8": round_effs(2, 8, "tiled_img_per_sec"),
+            "flagship_8_to_32": round_effs(8, 32,
+                                           "flagship_img_per_sec"),
+            "tiled_8_to_32": round_effs(8, 32, "tiled_img_per_sec"),
+        },
         "efficiency_flagship_2_to_8": eff(2, 8,
                                           "flagship_img_per_sec"),
         "efficiency_tiled_2_to_8": eff(2, 8, "tiled_img_per_sec"),
@@ -191,6 +213,10 @@ zonal stats, {tiled_images} images (4 tiles each).
 | 32 | {r32['flagship_sec']} | {r32['flagship_img_per_sec']} | {r32['tiled_sec']} | {r32['tiled_img_per_sec']} | {r32['tiled_tiles_per_sec']} |
 
 ## Scaling efficiency = (tput_4N / tput_N) / 4
+
+Computed within each interleaved round (adjacent-in-time runs, so
+shared-host capacity drift cancels); median across
+{len(all_rounds)} rounds. Per-round values in BENCH/scaling.json.
 
 | pair | flagship | tiled |
 |---|---|---|

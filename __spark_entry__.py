@@ -343,6 +343,18 @@ def _q_events_windowed(spark, sf):
                     "value_sum"))
 
 
+def _q_sessionization(spark, sf):
+    # gap-based sessions: lag window + ordered prefix sum (W2 motif)
+    from pyshepseg_spark.operators.sessions import session_stats
+    ev = _t(spark, sf, "events")
+    s = session_stats(ev, gap_minutes=30)
+    return s.select(
+        "user_id", "session_seq", "n_events",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "value_sum")
+
+
 def _q_minhash_near_dups(spark, sf):
     # no SQL oracle (hash-based); rows-only check
     from pyshepseg_spark.operators.dedup import (minhash_lsh_pairs,
@@ -411,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
         "events_windowed": _q_events_windowed,
+        "sessionization": _q_sessionization,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "segmentation_zonal": _q_segmentation_zonal,
@@ -673,6 +686,30 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w)
+                               > 30 * 60
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS session_seq
+                FROM marked
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT)
+                       AS session_seq,
+                   COUNT(*) AS n_events,
+                   CAST(MIN(ts) AS VARCHAR) AS session_start,
+                   CAST(MAX(ts) AS VARCHAR) AS session_end,
+                   ROUND(SUM(value), 2) AS value_sum
+            FROM sess GROUP BY user_id, session_seq
         """,
     }
 

@@ -189,6 +189,24 @@ def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
             .select("a", "b", "hamming"))
 
 
+def duplicate_groups(pairs, a_col="a", b_col="b"):
+    """Transitive dedup clusters: connected components over the
+    near-dup pair list (union-find on the driver for pair lists that
+    fit — they scale with duplicates, not corpus; reuse the
+    distributed CC in operators.segment for larger lists). Returns
+    (doc_id, group_rep) with group_rep = min doc id of the cluster —
+    the canonical representative to keep."""
+    from pyspark.sql import functions as F
+
+    from .segment import connected_components
+    edges = pairs.select(F.lit("_").alias("image_id"),
+                         F.col(a_col).cast("long").alias("a"),
+                         F.col(b_col).cast("long").alias("b"))
+    cc = connected_components(edges)
+    return cc.select(F.col("v").alias("doc_id"),
+                     F.col("root").alias("group_rep"))
+
+
 def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",
                         threshold=0.95, bits=16, seed=42):
     """Embedding-cosine near-dup via random-hyperplane LSH: sign

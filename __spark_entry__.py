@@ -343,6 +343,18 @@ def _q_events_windowed(spark, sf):
                     "value_sum"))
 
 
+def _q_dedup_groups(spark, sf):
+    # exact-dup groups: canonical representative = min doc_id per
+    # normalized text (the SQL-expressible core of duplicate_groups)
+    from pyshepseg_spark.operators.dedup import normalized_text
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("norm")
+    return (d.withColumn("norm", normalized_text(F.col("text")))
+            .withColumn("group_rep", F.min("doc_id").over(w))
+            .withColumn("group_size", F.count("*").over(w))
+            .select("doc_id", "group_rep", "group_size"))
+
+
 def _q_sessionization(spark, sf):
     # gap-based sessions: lag window + ordered prefix sum (W2 motif)
     from pyshepseg_spark.operators.sessions import session_stats
@@ -424,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "events_windowed": _q_events_windowed,
         "sessionization": _q_sessionization,
+        "dedup_groups": _q_dedup_groups,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "segmentation_zonal": _q_segmentation_zonal,
@@ -686,6 +699,16 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "dedup_groups": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY norm)
+                       AS group_rep,
+                   COUNT(*) OVER (PARTITION BY norm) AS group_size
+            FROM (SELECT doc_id,
+                         lower(trim(regexp_replace(text, '\\s+', ' ',
+                             'g'))) AS norm
+                  FROM documents)
         """,
         "sessionization": """
             WITH marked AS (

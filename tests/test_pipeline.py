@@ -93,3 +93,29 @@ def test_stitch_consistency_single_vs_multi_partition(
         sa = assemble_image(a[a.image_id == iid], SIZE, SIZE)
         sb = assemble_image(b[b.image_id == iid], SIZE, SIZE)
         assert np.array_equal(sa, sb)
+
+
+def test_large_multi_tile_grid(spark):
+    """5x5 tile grid (interior tiles, 4-neighbour stitch chains):
+    the reconstruction gate must hold across long correspondence
+    chains, not just 2x2 grids."""
+    import pandas as pd
+    from pyshepseg_spark.operators.segment import segment_images_tiled
+    from pyshepseg_spark.sources.imagegen import generate_image
+    row, truth = generate_image(5, size=1024)
+    pdf = pd.DataFrame([row])
+    pdf["num_clusters"] = int(row["caption"].split(": ")[1].split()[0])
+    images = spark.createDataFrame(pdf)
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=256, overlap=64)
+    final, _, _ = segment_images_tiled(images, cfg)
+    fp = final.toPandas()
+    from pyshepseg_spark.operators.tiling import tile_grid
+    expected_tiles, ntc, ntr = tile_grid(1024, 1024, 256, 64)
+    assert ntc == ntr == 4 and len(fp) == len(expected_tiles) == 16
+    img = decode_image(row["bytes"], row["fmt"], 1024, 1024)
+    seg = assemble_image(fp, 1024, 1024)
+    assert reconstruction_fraction(seg, img) == 1.0
+    assert ((seg == 0) == (truth == 0)).all()
+    sizes = np.bincount(seg.ravel())
+    assert (sizes[1:] > 0).all()

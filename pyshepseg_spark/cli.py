@@ -93,7 +93,8 @@ def main(argv=None):
     s.add_argument("--num-clusters", type=int, default=60)
     s.add_argument("--min-segment-size", type=int, default=50)
     s.add_argument("--null-val", type=int, default=None)
-    s.add_argument("--four-connected", action="store_true")
+    s.add_argument("--four-connected", default=True,
+                   action=argparse.BooleanOptionalAction)
     _add_common(s)
     s.set_defaults(fn=cmd_segment)
 

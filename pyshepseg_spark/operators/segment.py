@@ -486,8 +486,13 @@ FINAL_TILE_SCHEMA = (
     "segdata binary, max_final long"
 )
 
+HIST_COL = (", hist array<struct<seg_id:long, band:int, val:long, "
+            "cnt:long>>")
 
-def paint_final_tiles(seg_tiles_off, mapping, overlap: int):
+
+def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
+                      with_histogram: bool = False,
+                      img_null_val: int | None = None):
     """Apply gid->final mapping to each tile and trim to its core
     (margin = overlap/2, mosaic edges untrimmed; tiling.py:959,
     996-1022).
@@ -496,7 +501,12 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int):
     a giant mosaic), each tile's gid range joins the mapping table on
     (image_id, gid) and only its own ~nseg mapping rows are shipped
     into the paint kernel — the shuffle is proportional to segment
-    count, never pixel count."""
+    count, never pixel count.
+
+    with_histogram=True additionally attaches the tile's partial
+    (seg, band, value) histogram to each output row, so the zonal
+    stage never re-reads the fat tiles (A3 fused into the paint
+    pass)."""
     margin = overlap // 2
     keys = ["image_id", "tcol", "trow"]
     tg = (seg_tiles_off.filter(F.col("nseg") > 0)
@@ -531,7 +541,7 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int):
                 pix = decode_tile_pixels(row.pixels, row.nbands,
                                          row.ysize, row.xsize)
                 pix_core = pix[:, top:bottom, left:right]
-                out.append({
+                rec = {
                     "image_id": row.image_id,
                     "tcol": row.tcol, "trow": row.trow,
                     "xout": row.xpos + left, "yout": row.ypos + top,
@@ -542,16 +552,40 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int):
                         pix_core.astype("<u2")).tobytes(),
                     "segdata": final.astype("<i8").tobytes(),
                     "max_final": int(final.max()) if final.size else 0,
-                })
-            yield pd.DataFrame(out, columns=[
-                "image_id", "tcol", "trow", "xout", "yout",
-                "out_xsize", "out_ysize", "nbands", "pixels",
-                "segdata", "max_final"])
+                }
+                if with_histogram:
+                    hist = []
+                    segf = final.ravel()
+                    valid = segf > 0
+                    for b in range(row.nbands):
+                        v = pix_core[b].ravel().astype(np.int64)
+                        m = valid
+                        if img_null_val is not None:
+                            m = m & (v != img_null_val)
+                        if not m.any():
+                            continue
+                        key = (segf[m] << np.int64(17)) | v[m]
+                        uk, cnt = np.unique(key, return_counts=True)
+                        hist.extend(
+                            {"seg_id": int(k >> 17), "band": b,
+                             "val": int(k & ((1 << 17) - 1)),
+                             "cnt": int(c)}
+                            for k, c in zip(uk, cnt))
+                    rec["hist"] = hist
+                out.append(rec)
+            cols = ["image_id", "tcol", "trow", "xout", "yout",
+                    "out_xsize", "out_ysize", "nbands", "pixels",
+                    "segdata", "max_final"]
+            if with_histogram:
+                cols.append("hist")
+            yield pd.DataFrame(out, columns=cols)
 
-    return joined.mapInPandas(kernel, FINAL_TILE_SCHEMA)
+    schema = FINAL_TILE_SCHEMA + (HIST_COL if with_histogram else "")
+    return joined.mapInPandas(kernel, schema)
 
 
-def segment_images_tiled(images_df, cfg: SegConfig, centres=None):
+def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
+                         with_histogram: bool = False):
     """Full pipeline: images -> final stitched seg tiles.
 
     Returns (final_tiles_df, seg_tiles_df, centres). seg_tiles_df is
@@ -567,11 +601,11 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None):
     else:
         tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
     seg_tiles = segment_tiles(tiles, centres, cfg)
-    final = stitch(seg_tiles, cfg)
+    final = stitch(seg_tiles, cfg, with_histogram=with_histogram)
     return final, seg_tiles, centres
 
 
-def stitch(seg_tiles, cfg: SegConfig):
+def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False):
     """Stitch phase on a (possibly checkpoint-restored) seg_tiles.
 
     seg_tiles fans out into four consumers (strips, anchored gids,
@@ -584,7 +618,9 @@ def stitch(seg_tiles, cfg: SegConfig):
     edges = correspondence_edges(strips)
     cc = connected_components(edges)
     mapping = build_mapping(st, cc)
-    return paint_final_tiles(st, mapping, cfg.overlap)
+    return paint_final_tiles(st, mapping, cfg.overlap,
+                             with_histogram=with_histogram,
+                             img_null_val=cfg.img_null_val)
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,23 @@ HIST_SCHEMA = ("image_id string, seg_id long, band int, val long, "
 def tile_value_histogram(final_tiles, img_null_val: int | None = None):
     """Stage 1: per-tile partial (seg, band, value) histograms from
     the stitched tiles (segdata int64 + trimmed pixels). mapInPandas;
-    the only shuffle is the later merge groupBy."""
+    the only shuffle is the later merge groupBy.
+
+    If the tiles already carry a fused ``hist`` column (paint ran
+    with with_histogram=True), this is a pure-SQL explode + merge —
+    the fat rows are never re-read."""
+    if "hist" in final_tiles.columns:
+        part = (final_tiles
+                .select("image_id", F.explode("hist").alias("h"))
+                .select("image_id", "h.seg_id", "h.band", "h.val",
+                        "h.cnt"))
+        if img_null_val is not None:
+            # Equivalent to the in-kernel mask: the histogram keeps
+            # full value granularity, so post-hoc filtering is exact
+            # (and idempotent if paint already filtered).
+            part = part.filter(F.col("val") != img_null_val)
+        return (part.groupBy("image_id", "seg_id", "band", "val")
+                .agg(F.sum("cnt").alias("cnt")))
 
     def kernel(batches):
         for pdf in batches:

@@ -3,7 +3,7 @@
 import numpy as np
 from pyspark.sql import functions as F
 
-from pyshepseg_spark.operators.segment import (SegConfig,
+from pyshepseg_spark.operators.segment import (SegConfig, segment_images_tiled,
                                                assemble_image,
                                                segment_images)
 from pyshepseg_spark.operators.tiling import explode_tiles, tile_metrics
@@ -119,3 +119,45 @@ def test_large_multi_tile_grid(spark):
     assert ((seg == 0) == (truth == 0)).all()
     sizes = np.bincount(seg.ravel())
     assert (sizes[1:] > 0).all()
+
+
+def test_fused_paint_histogram_equals_two_pass(spark, images_fixture,
+                                               cfg, final_tiles):
+    """paint(with_histogram=True) attaches per-tile partial
+    histograms; the exploded merge must equal the two-pass kernel
+    histogram. (Kept non-default: at small tile counts the
+    struct-array serialization costs more than the saved pass.)"""
+    from pyshepseg_spark.operators.zonal import tile_value_histogram
+    _, _, images = images_fixture
+    fused, _, _ = segment_images_tiled(images, cfg,
+                                       with_histogram=True)
+    h1 = tile_value_histogram(fused, img_null_val=65535).toPandas()
+    h2 = tile_value_histogram(final_tiles,
+                              img_null_val=65535).toPandas()
+    key = ["image_id", "seg_id", "band", "val"]
+    h1 = h1.sort_values(key).reset_index(drop=True)
+    h2 = h2.sort_values(key).reset_index(drop=True)
+    assert h1.equals(h2)
+
+
+def test_fused_histogram_honours_late_null_val(spark, images_fixture,
+                                               cfg, final_tiles):
+    """The SQL fast path must apply img_null_val even when the fused
+    hist was built without paint-time filtering (hist keeps full
+    value granularity, so post-hoc filtering is exact)."""
+    import dataclasses
+    from pyshepseg_spark.operators.segment import stitch
+    from pyshepseg_spark.operators.zonal import tile_value_histogram
+    _, _, images = images_fixture
+    # same segmentation as the fixture (deterministic), but paint the
+    # fused histogram with null kept, so the SQL path must filter it
+    _, seg_tiles, _ = segment_images_tiled(images, cfg)
+    cfg_keep = dataclasses.replace(cfg, img_null_val=None)
+    fused = stitch(seg_tiles, cfg_keep, with_histogram=True)
+    h_fused = tile_value_histogram(fused, img_null_val=65535).toPandas()
+    h_ref = tile_value_histogram(final_tiles,
+                                 img_null_val=65535).toPandas()
+    assert not (h_fused["val"] == 65535).any()
+    key = ["image_id", "seg_id", "band", "val"]
+    assert h_fused.sort_values(key).reset_index(drop=True).equals(
+        h_ref.sort_values(key).reset_index(drop=True))

@@ -368,21 +368,23 @@ def _q_sessionization(spark, sf):
 
 
 def _q_minhash_near_dups(spark, sf):
-    # no SQL oracle (hash-based); rows-only check
+    # md5-28bit hash path: the DuckDB oracle replays the identical
+    # shingle->minhash->band->bucket-join pipeline bit-for-bit
     from pyshepseg_spark.operators.dedup import (minhash_lsh_pairs,
-                                                 minhash_signatures)
-    d = _t(spark, sf, "documents").limit(500)
-    sigs = minhash_signatures(d, num_hashes=32, k=3)
-    return minhash_lsh_pairs(sigs, num_hashes=32, bands=8) \
-        .select("a", "b", F.round("est_jaccard", 4)
-                .alias("est_jaccard"))
+                                                 minhash_signatures_md5)
+    d = _t(spark, sf, "documents")
+    sigs = minhash_signatures_md5(d, num_hashes=32, k=3)
+    return (minhash_lsh_pairs(sigs, num_hashes=32, bands=8)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .select("a", "b", "est_jaccard"))
 
 
 def _q_simhash_near_dups(spark, sf):
-    from pyshepseg_spark.operators.dedup import (simhash,
+    from pyshepseg_spark.operators.dedup import (simhash_md5,
                                                  simhash_near_dups)
-    d = _t(spark, sf, "documents").limit(500)
-    return simhash_near_dups(simhash(d, k=3), max_hamming=10)
+    d = _t(spark, sf, "documents")
+    return simhash_near_dups(simhash_md5(d, k=3), max_hamming=10,
+                             blocks=4, hash_bits=28)
 
 
 def _q_segmentation_zonal(spark, sf):
@@ -645,6 +647,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
         "lang_id": _lang_id_oracle(),
+        "minhash_near_dups": _minhash_oracle(),
+        "simhash_near_dups": _simhash_oracle(),
         "token_counts": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text),
@@ -735,6 +739,89 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_seq
         """,
     }
+
+
+def _shingle_cte(k: int) -> str:
+    """Shared CTE: word k-shingle 28-bit md5 hashes, replaying
+    dedup.shingles_md5 exactly (same normalization, same slice
+    clamping, same hex-prefix hash)."""
+    return f"""
+        norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ',
+                        'g')) AS t
+            FROM documents
+        ), wrd AS (
+            SELECT doc_id, string_split(t, ' ') AS w FROM norm
+        ), sh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(array_to_string(
+                       list_slice(w, i, i + {k - 1}), ' ')), 1, 7))
+                       AS BIGINT) AS h
+            FROM wrd, LATERAL unnest(generate_series(
+                1, greatest(len(w) - {k - 1}, 1))) AS g(i)
+        )"""
+
+
+def _minhash_oracle() -> str:
+    from pyshepseg_spark.operators.dedup import minhash_coeffs
+    coeffs = minhash_coeffs(32, 42)
+    vals = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                     for i, (a, b) in enumerate(coeffs))
+    return f"""
+        WITH {_shingle_cte(3)}, hf(i, a, b) AS (VALUES {vals}),
+        sig AS (
+            SELECT sh.doc_id, hf.i,
+                   MIN((sh.h * hf.a + hf.b) % 2147483647) AS v
+            FROM sh CROSS JOIN hf GROUP BY sh.doc_id, hf.i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(v::VARCHAR, ',' ORDER BY i) AS bkey
+            FROM sig GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.bkey = r.bkey
+             AND l.doc_id < r.doc_id
+        ), est AS (
+            SELECT c.a, c.b,
+                   SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                       / 32.0 AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a
+            JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
+            GROUP BY c.a, c.b
+        )
+        SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_shingle_cte(3)}, bits AS (
+            SELECT doc_id, bp,
+                   SUM(CASE WHEN (h >> bp) & 1 = 1
+                       THEN 1 ELSE -1 END) AS v
+            FROM sh, LATERAL unnest(generate_series(0, 27)) AS t(bp)
+            GROUP BY doc_id, bp
+        ), words64 AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                       THEN (1::BIGINT << bp) ELSE 0 END)
+                       AS BIGINT) AS sh64
+            FROM bits GROUP BY doc_id
+        ), blk AS (
+            SELECT doc_id, sh64, j, (sh64 >> (7 * j)) & 127 AS bkey
+            FROM words64, LATERAL unnest(generate_series(0, 3)) AS t(j)
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   l.sh64 AS ha, r.sh64 AS hb
+            FROM blk l JOIN blk r
+              ON l.j = r.j AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+        )
+        SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 10
+    """
 
 
 def _lang_id_oracle() -> str:

@@ -22,6 +22,76 @@ from pyspark.sql.pandas.functions import pandas_udf
 # Mersenne prime for universal hashing
 _MERSENNE = (1 << 61) - 1
 
+# 31-bit Mersenne prime for the oracle-able (cross-engine) hash path:
+# 28-bit md5 shingle hashes x 31-bit coefficients stay < 2^59, so
+# (a*h + b) % P31 is exact in int64 on every engine — no wraparound.
+P31 = (1 << 31) - 1
+
+
+def md5_hash28(col):
+    """28-bit hash from the first 7 hex chars of md5 — computable
+    identically in Spark (conv/substring/md5) and ANSI SQL
+    (CAST('0x'||substr(md5(x),1,7) AS BIGINT)), so DuckDB oracles can
+    replay the whole minhash/simhash pipeline bit-for-bit."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def shingles_md5(text_col, k=5):
+    """Word k-shingle 28-bit hashes as array<long> (JVM-side only:
+    split + transform + md5). Cross-engine twin of _shingles."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: md5_hash28(
+            F.concat_ws(" ", F.slice(words, i + 1, k))))
+
+
+def minhash_coeffs(num_hashes=32, seed=42):
+    """Deterministic (a, b) coefficient pairs < P31, shared between
+    the Spark pipeline and generated oracle SQL."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P31, size=num_hashes)
+    b = rng.integers(0, P31, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signatures_md5(docs, text_col="text", id_col="doc_id",
+                           num_hashes=32, k=5, seed=42):
+    """Oracle-able MinHash signatures: md5-28bit shingles, exact
+    (a*h+b) % P31 minima — entirely JVM expressions (array_min over
+    transform), whole-stage codegen, no Python in the hot path."""
+    coeffs = minhash_coeffs(num_hashes, seed)
+    with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
+
+    def affine(a, b):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(P31)
+
+    mins = [F.array_min(F.transform(F.col("sh"), affine(a, b)))
+            for a, b in coeffs]
+    return with_sh.select(id_col, F.array(*mins).alias("minhash"))
+
+
+def simhash_md5(docs, text_col="text", id_col="doc_id", k=3,
+                hash_bits=28):
+    """Oracle-able 28-bit SimHash: per bit position, the sign of
+    sum(+-1) over shingle-hash bits. JVM-side (aggregate over the
+    shingle array per bit) — the shingle array is materialized once
+    and reused by all 28 bit expressions."""
+    with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
+
+    def bitsum(bp):
+        return lambda acc, x: acc + (
+            F.shiftright(x, bp).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    word = None
+    for bp in range(hash_bits):
+        v = F.aggregate(F.col("sh"), F.lit(0).cast("long"),
+                        bitsum(bp))
+        bit = F.when(v > 0, F.lit(1 << bp)).otherwise(F.lit(0))
+        word = bit if word is None else word + bit
+    return with_sh.select(id_col, word.cast("long").alias("simhash"))
+
 
 def normalized_text(col):
     """lower + collapse whitespace: the canonical form for dedup."""
@@ -163,12 +233,14 @@ def simhash(docs, text_col="text", id_col="doc_id", k=3):
 
 
 def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
-                      blocks=4):
-    """Near-dup pairs by SimHash: block the 64-bit hash into
+                      blocks=4, hash_bits=64):
+    """Near-dup pairs by SimHash: block the hash_bits-wide hash into
     ``blocks`` segments (pigeonhole: any pair within max_hamming <
     blocks shares >= 1 exact block), equi-join per block, verify
-    Hamming distance with bit_count (JVM-side)."""
-    width = 64 // blocks
+    Hamming distance with bit_count (JVM-side). Pass hash_bits=28
+    for the md5/oracle hash so block keys cover the varying bits
+    (blocks of zeros would degenerate to an all-pairs join)."""
+    width = hash_bits // blocks
     mask = (1 << width) - 1
     exploded = sim.select(
         id_col, "simhash",

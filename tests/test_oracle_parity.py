@@ -69,9 +69,7 @@ def test_no_oracle_queries_run(spark):
     """Queries without SQL oracles still must run and return rows."""
     qs = entrymod.queries()
     no_oracle = set(qs) - set(entrymod.oracle_sql())
-    # raster queries are exercised by the pipeline tests; here only
-    # the cheap document-level ones
-    for name in ["minhash_near_dups", "simhash_near_dups"]:
-        assert name in no_oracle
-        df = qs[name](spark, SF_DIR)
-        assert df.count() >= 0
+    # only segmentation-derived queries may lack an oracle (DuckDB
+    # cannot replay the raster kernels); they are exercised by the
+    # pipeline tests instead
+    assert no_oracle <= {"segmentation_zonal", "point_in_segment"}

@@ -387,6 +387,25 @@ def _q_simhash_near_dups(spark, sf):
                              blocks=4, hash_bits=28)
 
 
+def _q_knn_points(spark, sf):
+    # exact kNN join (cell-grid candidates + provable-bound
+    # fallback) over deterministic integer coordinates derived from
+    # customer (points) and supplier (sites)
+    from pyshepseg_spark.operators.spatial import knn_points_exact
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 131) % 1024).alias("x"),
+        ((F.col("c_custkey") * 211) % 1024).alias("y"))
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        ((F.col("s_suppkey") * 197) % 1024).alias("x"),
+        ((F.col("s_suppkey") * 313) % 1024).alias("y"))
+    out = knn_points_exact(cust, supp, k=3, cell_size=64, ring=1,
+                           p_id="pid", s_id="sid")
+    return out.select("point_id", "site_id",
+                      F.col("d2").cast("long").alias("d2"), "rank")
+
+
 def _q_segmentation_zonal(spark, sf):
     # raster flagship (no SQL oracle; verified by pytest fixtures)
     return entry(spark)
@@ -441,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "knn_points": _q_knn_points,
         "segmentation_zonal": _q_segmentation_zonal,
         "point_in_segment": _q_point_in_segment,
     }
@@ -649,6 +669,29 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
+        "knn_points": """
+            WITH p AS (
+                SELECT c_custkey AS point_id,
+                       (c_custkey * 131) % 1024 AS x,
+                       (c_custkey * 211) % 1024 AS y
+                FROM customer
+            ), s AS (
+                SELECT s_suppkey AS site_id,
+                       (s_suppkey * 197) % 1024 AS x,
+                       (s_suppkey * 313) % 1024 AS y
+                FROM supplier
+            )
+            SELECT point_id, site_id,
+                   CAST((p.x - s.x) * (p.x - s.x)
+                        + (p.y - s.y) * (p.y - s.y) AS BIGINT) AS d2,
+                   CAST(row_number() OVER (
+                       PARTITION BY point_id
+                       ORDER BY (p.x - s.x) * (p.x - s.x)
+                                + (p.y - s.y) * (p.y - s.y),
+                                site_id) AS INT) AS rank
+            FROM p CROSS JOIN s
+            QUALIFY rank <= 3
+        """,
         "token_counts": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text),

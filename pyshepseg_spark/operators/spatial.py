@@ -141,6 +141,71 @@ def _neighbour_cells(cell_col, ring: int, shift: int, bits: int):
     return nbrs(cell_col)
 
 
+def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
+                     ring: int = 1, p_id="point_id", s_id="site_id",
+                     px="x", py="y", sx="x", sy="y"):
+    """EXACT kNN join (points x sites), scale-safe:
+
+    1. Candidate pass: each site is exploded into its (2*ring+1)^2
+       neighbouring grid cells (pure SQL explode — the site side is
+       the smaller dimension table), points equi-join on (cellx,
+       celly), a row_number window keeps the k nearest (ties broken
+       by site id).
+    2. Exactness guarantee: a site outside the ring neighbourhood of
+       a point's cell is strictly further than ring*cell_size, so a
+       point whose kth candidate lies within that bound is provably
+       exact. The (few) points that fail the bound — sparse regions,
+       image borders — are re-answered by a broadcast join against
+       the full site table and unioned back.
+
+    The shuffle is proportional to candidate count (cell occupancy x
+    points), never |points| x |sites|; the fallback is broadcast and
+    only touches the sparse tail. Distances are compared as squared
+    sums, exact for integer coordinates (d2 column in the output)."""
+    r = F.sequence(F.lit(-ring), F.lit(ring))
+    s = (sites.select(
+            F.col(s_id).alias("site_id"),
+            F.col(sx).alias("sx"), F.col(sy).alias("sy"))
+         .withColumn("dx", F.explode(r))
+         .withColumn("dy", F.explode(r))
+         .withColumn("cellx",
+                     (F.floor(F.col("sx") / cell_size) + F.col("dx"))
+                     .cast("long"))
+         .withColumn("celly",
+                     (F.floor(F.col("sy") / cell_size) + F.col("dy"))
+                     .cast("long"))
+         .drop("dx", "dy"))
+    p = points.select(
+        F.col(p_id).alias("point_id"),
+        F.col(px).alias("x_"), F.col(py).alias("y_"),
+        F.floor(F.col(px) / cell_size).cast("long").alias("cellx"),
+        F.floor(F.col(py) / cell_size).cast("long").alias("celly"))
+    d2 = ((F.col("x_") - F.col("sx")) * (F.col("x_") - F.col("sx"))
+          + (F.col("y_") - F.col("sy")) * (F.col("y_") - F.col("sy")))
+    w = Window.partitionBy("point_id").orderBy(
+        F.col("d2").asc(), F.col("site_id").asc())
+    cand = (p.join(F.broadcast(s), ["cellx", "celly"])
+            .withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    bound2 = (ring * cell_size) ** 2
+    per_pt = cand.groupBy("point_id").agg(
+        F.count("*").alias("n"), F.max("d2").alias("kd2"))
+    ok = per_pt.filter((F.col("n") >= k) & (F.col("kd2") <= bound2)) \
+        .select("point_id")
+    exact = cand.join(F.broadcast(ok), "point_id")
+    # fallback: provable-exactness failed -> full broadcast join
+    fb_pts = p.join(F.broadcast(ok), "point_id", "left_anti")
+    s_all = sites.select(F.col(s_id).alias("site_id"),
+                         F.col(sx).alias("sx"), F.col(sy).alias("sy"))
+    fb = (fb_pts.crossJoin(F.broadcast(s_all))
+          .withColumn("d2", d2)
+          .withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= k))
+    cols = ["point_id", "site_id", "d2", "rank"]
+    return exact.select(*cols).unionByName(fb.select(*cols))
+
+
 def knn_segments(points, centroids, k: int = 3, ring: int = 2,
                  shift: int = 6, bits: int = 12):
     """k nearest segment centroids per point: cell-ring candidate

@@ -173,3 +173,43 @@ def test_subset_with_mask(spark, images_fixture, final_tiles):
     assert (s[:, q:] == 0).all()          # masked half nulled
     ids = np.unique(s[s > 0])
     assert len(ids) > 0 and ids.min() == 1 and ids.max() == len(ids)
+
+
+def test_knn_points_exact_matches_brute_force(spark):
+    """Exactness of the cell-grid kNN incl. the fallback: sparse
+    site sets and clustered points force both code paths; result
+    must equal the brute-force cross join for every point."""
+    import numpy as np
+    import pandas as pd
+    from pyshepseg_spark.operators.spatial import knn_points_exact
+    rng = np.random.default_rng(7)
+    # clustered points + very sparse far-away sites => ring-1 cells
+    # around many points are empty => fallback path exercised
+    pts = pd.DataFrame({
+        "pid": np.arange(200),
+        "x": np.concatenate([rng.integers(0, 128, 150),
+                             rng.integers(3000, 4000, 50)]),
+        "y": np.concatenate([rng.integers(0, 128, 150),
+                             rng.integers(3000, 4000, 50)])})
+    sites = pd.DataFrame({
+        "sid": np.arange(12),
+        "x": rng.integers(0, 4096, 12),
+        "y": rng.integers(0, 4096, 12)})
+    p = spark.createDataFrame(pts)
+    s = spark.createDataFrame(sites)
+    got = knn_points_exact(p, s, k=3, cell_size=64, ring=1,
+                           p_id="pid", s_id="sid") \
+        .toPandas().sort_values(["point_id", "rank"],
+                                ignore_index=True)
+    # brute force oracle in numpy, same tie-break (d2, site_id)
+    want = []
+    for _, r in pts.iterrows():
+        d2 = (sites.x - r.x) ** 2 + (sites.y - r.y) ** 2
+        order = sorted(zip(d2, sites.sid))[:3]
+        for rank, (d, sid) in enumerate(order, 1):
+            want.append((r.pid, sid, d, rank))
+    want = pd.DataFrame(want, columns=["point_id", "site_id", "d2",
+                                       "rank"])
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c

@@ -387,6 +387,39 @@ def _q_simhash_near_dups(spark, sf):
                              blocks=4, hash_bits=28)
 
 
+def _q_cosine_near_dups(spark, sf):
+    # exact embedding-cosine near-dup pairs (the correctness baseline
+    # for embedding_near_dups' LSH scale path): broadcast cross join,
+    # JVM-side dot products, threshold filter. Output keeps ids only
+    # (floats are engine-precision-sensitive).
+    from pyshepseg_spark.operators.similarity import _dot, _norm
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"),
+                 F.col("embedding").alias("vb"))
+    j = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (j.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= 0.4)
+            .select("a", "b"))
+
+
+def _q_ivf_topk(spark, sf):
+    # IVF ANN with exhaustive probing (nprobe = n_cells): must equal
+    # the brute-force oracle exactly — validates the cell-assignment
+    # plumbing and the per-cell equi-join; recall<1 trade-off paths
+    # are covered by pytest
+    from pyshepseg_spark.operators.similarity import (ivf_topk,
+                                                      train_ivf_centroids)
+    e = _t(spark, sf, "embeddings")
+    cent = train_ivf_centroids(e, n_cells=8)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    out = ivf_topk(q, e, cent, k=5, nprobe=8)
+    return out.select("q_id", "c_id", "rank")
+
+
 def _q_knn_points(spark, sf):
     # exact kNN join (cell-grid candidates + provable-bound
     # fallback) over deterministic integer coordinates derived from
@@ -461,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "knn_points": _q_knn_points,
+        "cosine_near_dups": _q_cosine_near_dups,
+        "ivf_topk": _q_ivf_topk,
         "segmentation_zonal": _q_segmentation_zonal,
         "point_in_segment": _q_point_in_segment,
     }
@@ -669,6 +704,24 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
+        "cosine_near_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding)
+                  >= 0.4
+        """,
+        "ivf_topk": """
+            SELECT q_id, c_id, CAST(rank AS INT) AS rank FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding, c.embedding) DESC,
+                               c.vec_id ASC) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 8)
+            WHERE rank <= 5
+        """,
         "knn_points": """
             WITH p AS (
                 SELECT c_custkey AS point_id,

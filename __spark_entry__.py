@@ -387,6 +387,48 @@ def _q_simhash_near_dups(spark, sf):
                              blocks=4, hash_bits=28)
 
 
+def _q_fingerprint(spark, sf):
+    from pyshepseg_spark.operators.text import fingerprint_md5
+    d = _t(spark, sf, "documents")
+    return fingerprint_md5(d, k=3, window=8)
+
+
+def _q_colour_stretch(spark, sf):
+    # W5 percentile stretch + ramp (utils.py:162-230) demonstrated on
+    # a SQL-visible stats table: per-customer order counts
+    from pyshepseg_spark.operators.colortables import colour_ramp_from_stat
+    o = _t(spark, sf, "orders")
+    stats = (o.groupBy(F.col("o_custkey").alias("seg_id"))
+             .agg(F.count("*").cast("double").alias("stat"))
+             .withColumn("image_id", F.lit("img")))
+    return colour_ramp_from_stat(stats, "stat")
+
+
+def _q_a8_centre_dist(spark, sf):
+    # A8 autoMaxSpectralDiff (shepseg.py:400-449): percentile of the
+    # C(k,2) pairwise centre distances + the 10*max fallback, over
+    # deterministic 3-band centres derived from part
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 8).select(
+        F.col("p_partkey").alias("cid"),
+        ((F.col("p_partkey") * 17) % 100).alias("b0"),
+        ((F.col("p_partkey") * 29) % 100).alias("b1"),
+        ((F.col("p_partkey") * 43) % 100).alias("b2"))
+    a = p.select(F.col("cid").alias("i"), F.col("b0").alias("a0"),
+                 F.col("b1").alias("a1"), F.col("b2").alias("a2"))
+    b = p.select(F.col("cid").alias("j"), F.col("b0").alias("c0"),
+                 F.col("b1").alias("c1"), F.col("b2").alias("c2"))
+    def sq(u, v):
+        return (F.col(u) - F.col(v)) * (F.col(u) - F.col(v))
+
+    d = (a.crossJoin(b).filter(F.col("i") < F.col("j"))
+         .select(F.sqrt(sq("a0", "c0") + sq("a1", "c1")
+                        + sq("a2", "c2")).alias("dist")))
+    return d.agg(
+        F.round(F.expr("percentile(dist, 0.5)"), 4)
+        .alias("spect_diff_p50"),
+        F.round(F.max("dist") * 10, 4).alias("spect_diff_fallback"))
+
+
 def _q_cosine_near_dups(spark, sf):
     # exact embedding-cosine near-dup pairs (the correctness baseline
     # for embedding_near_dups' LSH scale path): broadcast cross join,
@@ -496,6 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_points": _q_knn_points,
         "cosine_near_dups": _q_cosine_near_dups,
         "ivf_topk": _q_ivf_topk,
+        "fingerprint": _q_fingerprint,
+        "colour_stretch": _q_colour_stretch,
+        "a8_centre_dist": _q_a8_centre_dist,
         "segmentation_zonal": _q_segmentation_zonal,
         "point_in_segment": _q_point_in_segment,
     }
@@ -704,6 +749,48 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
+        "fingerprint": _fingerprint_oracle(),
+        "colour_stretch": """
+            WITH stats AS (
+                SELECT o_custkey AS seg_id,
+                       CAST(COUNT(*) AS DOUBLE) AS stat
+                FROM orders GROUP BY o_custkey
+            ), pct AS (
+                SELECT quantile_cont(stat, 0.05) AS lo,
+                       quantile_cont(stat, 0.95) AS hi
+                FROM stats
+            ), scaled AS (
+                SELECT seg_id,
+                       CASE WHEN hi > lo THEN CAST(trunc(
+                           ((least(greatest(stat, lo), hi) - lo)
+                            / (hi - lo)) * 255) AS INT)
+                       ELSE 0 END AS s
+                FROM stats, pct
+            )
+            SELECT 'img' AS image_id, seg_id,
+                   s AS red,
+                   255 - abs(s * 2 - 255) AS green,
+                   255 - s AS blue
+            FROM scaled
+        """,
+        "a8_centre_dist": """
+            WITH c AS (
+                SELECT p_partkey AS cid,
+                       (p_partkey * 17) % 100 AS b0,
+                       (p_partkey * 29) % 100 AS b1,
+                       (p_partkey * 43) % 100 AS b2
+                FROM part WHERE p_partkey <= 8
+            ), d AS (
+                SELECT sqrt((a.b0 - b.b0) * (a.b0 - b.b0)
+                          + (a.b1 - b.b1) * (a.b1 - b.b1)
+                          + (a.b2 - b.b2) * (a.b2 - b.b2)) AS dist
+                FROM c a, c b WHERE a.cid < b.cid
+            )
+            SELECT ROUND(quantile_cont(dist, 0.5), 4)
+                       AS spect_diff_p50,
+                   ROUND(MAX(dist) * 10, 4) AS spect_diff_fallback
+            FROM d
+        """,
         "cosine_near_dups": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a, embeddings b
@@ -850,13 +937,24 @@ def _shingle_cte(k: int) -> str:
         ), wrd AS (
             SELECT doc_id, string_split(t, ' ') AS w FROM norm
         ), sh AS (
-            SELECT doc_id,
+            SELECT doc_id, i - 1 AS pos,
                    CAST(('0x' || substr(md5(array_to_string(
                        list_slice(w, i, i + {k - 1}), ' ')), 1, 7))
                        AS BIGINT) AS h
             FROM wrd, LATERAL unnest(generate_series(
                 1, greatest(len(w) - {k - 1}, 1))) AS g(i)
         )"""
+
+
+def _fingerprint_oracle() -> str:
+    return f"""
+        WITH {_shingle_cte(3)}, mins AS (
+            SELECT doc_id, pos // 8 AS win, MIN(h) AS mn
+            FROM sh GROUP BY doc_id, pos // 8
+        )
+        SELECT doc_id, bit_xor(DISTINCT mn) AS fingerprint
+        FROM mins GROUP BY doc_id
+    """
 
 
 def _minhash_oracle() -> str:

@@ -88,6 +88,24 @@ def token_counts(docs, text_col="text"):
                .withColumn("n_bpe_tokens", bpe_ish)
 
 
+def fingerprint_md5(docs, text_col="text", id_col="doc_id",
+                    k: int = 3, window: int = 8):
+    """Cross-engine winnowing fingerprint: word k-shingle md5-28bit
+    hashes -> min per non-overlapping window of ``window`` shingles
+    -> bit_xor of the DISTINCT window minima. Pure JVM (posexplode +
+    two aggregations), and exactly replayable in ANSI SQL, so the
+    DuckDB oracle checks it bit-for-bit."""
+    from .dedup import shingles_md5
+    sh = docs.select(id_col,
+                     F.posexplode(shingles_md5(text_col, k))
+                     .alias("pos", "h"))
+    mins = (sh.groupBy(id_col, (F.col("pos") / window)
+                       .cast("long").alias("win"))
+            .agg(F.min("h").alias("mn")))
+    return (mins.groupBy(id_col)
+            .agg(F.expr("bit_xor(DISTINCT mn)").alias("fingerprint")))
+
+
 def fingerprint(docs, text_col="text", window: int = 8):
     """Winnowing-style document fingerprint: rolling polynomial hash
     over the normalized text, minimum hash per sliding window,

@@ -435,9 +435,10 @@ def _q_cosine_near_dups(spark, sf):
     # JVM-side dot products, threshold filter. Output keeps ids only
     # (floats are engine-precision-sensitive).
     from pyshepseg_spark.operators.similarity import _dot, _norm
+    from pyshepseg_spark.operators.skew import spread_small_scan
     e = _t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"),
-                 F.col("embedding").alias("va"))
+    a = spread_small_scan(e).select(F.col("vec_id").alias("a"),
+                                    F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("b"),
                  F.col("embedding").alias("vb"))
     j = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))

@@ -61,7 +61,9 @@ def minhash_signatures_md5(docs, text_col="text", id_col="doc_id",
     """Oracle-able MinHash signatures: md5-28bit shingles, exact
     (a*h+b) % P31 minima — entirely JVM expressions (array_min over
     transform), whole-stage codegen, no Python in the hot path."""
+    from .skew import spread_small_scan
     coeffs = minhash_coeffs(num_hashes, seed)
+    docs = spread_small_scan(docs)
     with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
 
     def affine(a, b):
@@ -78,6 +80,8 @@ def simhash_md5(docs, text_col="text", id_col="doc_id", k=3,
     sum(+-1) over shingle-hash bits. JVM-side (aggregate over the
     shingle array per bit) — the shingle array is materialized once
     and reused by all 28 bit expressions."""
+    from .skew import spread_small_scan
+    docs = spread_small_scan(docs)
     with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
 
     def bitsum(bp):

@@ -36,8 +36,9 @@ def brute_force_topk(queries, corpus, k=5,
     window keeps k. Deterministic ties: (-cosine, corpus id)."""
     q = queries.select(F.col(q_id).alias("q_id"),
                        F.col(q_vec).alias("qv"))
-    c = corpus.select(F.col(c_id).alias("c_id"),
-                      F.col(c_vec).alias("cv"))
+    from .skew import spread_small_scan
+    c = spread_small_scan(corpus.select(F.col(c_id).alias("c_id"),
+                                        F.col(c_vec).alias("cv")))
     j = c.crossJoin(F.broadcast(q))
     cos = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
@@ -83,10 +84,11 @@ def ivf_topk(queries, corpus, centroids, k=5, nprobe=4,
     equi-join on cell — candidate count drops by ~n_cells/nprobe.
     Recall < 1 only when a true neighbour lives outside the probed
     cells (raise nprobe for recall, classic IVF trade-off)."""
+    from .skew import spread_small_scan
     one = _assign_cells_udf(centroids, 1)
     probe = _assign_cells_udf(centroids, nprobe)
-    c = corpus.select(F.col(c_id).alias("c_id"),
-                      F.col(c_vec).alias("cv")) \
+    c = spread_small_scan(corpus.select(F.col(c_id).alias("c_id"),
+                                        F.col(c_vec).alias("cv"))) \
         .withColumn("cell", one(F.col("cv"))[0])
     q = queries.select(F.col(q_id).alias("q_id"),
                        F.col(q_vec).alias("qv")) \

@@ -47,3 +47,20 @@ def salted_broadcast_join(big, small, key: str, num_salts: int = 8):
             small.sparkSession.range(num_salts)
             .select(F.col("id").cast("int").alias("salt"))))
     return bs.join(F.broadcast(ss), [key, "salt"]).drop("salt")
+
+
+def spread_small_scan(df, target: int | None = None):
+    """Defensive parallelism for CPU-heavy stages fed by tiny scans.
+
+    A small parquet file arrives as ONE input split, which serializes
+    any expensive per-row compute (md5 shingling, dot products) that
+    follows — a local-mode/small-file artifact; at scale, input
+    splits already provide parallelism. If the plan has fewer
+    partitions than the session's default parallelism, round-robin
+    repartition (the data is by definition small, so the shuffle is
+    negligible); otherwise return the input unchanged."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

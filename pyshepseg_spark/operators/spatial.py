@@ -175,7 +175,8 @@ def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
                      (F.floor(F.col("sy") / cell_size) + F.col("dy"))
                      .cast("long"))
          .drop("dx", "dy"))
-    p = points.select(
+    from .skew import spread_small_scan
+    p = spread_small_scan(points).select(
         F.col(p_id).alias("point_id"),
         F.col(px).alias("x_"), F.col(py).alias("y_"),
         F.floor(F.col(px) / cell_size).cast("long").alias("cellx"),
@@ -184,17 +185,21 @@ def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
           + (F.col("y_") - F.col("sy")) * (F.col("y_") - F.col("sy")))
     w = Window.partitionBy("point_id").orderBy(
         F.col("d2").asc(), F.col("site_id").asc())
+    # rank + per-point completeness stats in one shuffle: the second
+    # window reuses the point_id partitioning, so the candidate join
+    # is shuffled exactly once (ReusedExchange for both consumers)
+    wpt = Window.partitionBy("point_id")
+    bound2 = (ring * cell_size) ** 2
     cand = (p.join(F.broadcast(s), ["cellx", "celly"])
             .withColumn("d2", d2)
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
-    bound2 = (ring * cell_size) ** 2
-    per_pt = cand.groupBy("point_id").agg(
-        F.count("*").alias("n"), F.max("d2").alias("kd2"))
-    ok = per_pt.filter((F.col("n") >= k) & (F.col("kd2") <= bound2)) \
-        .select("point_id")
-    exact = cand.join(F.broadcast(ok), "point_id")
-    # fallback: provable-exactness failed -> full broadcast join
+            .filter(F.col("rank") <= k)
+            .withColumn("ok", (F.count("*").over(wpt) >= k)
+                        & (F.max("d2").over(wpt) <= bound2)))
+    exact = cand.filter(F.col("ok"))
+    # fallback: provable-exactness failed (or zero candidates) ->
+    # full broadcast join for the affected points only
+    ok = exact.select("point_id").distinct()
     fb_pts = p.join(F.broadcast(ok), "point_id", "left_anti")
     s_all = sites.select(F.col(s_id).alias("site_id"),
                          F.col(sx).alias("sx"), F.col(sy).alias("sy"))

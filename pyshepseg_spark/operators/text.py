@@ -96,6 +96,8 @@ def fingerprint_md5(docs, text_col="text", id_col="doc_id",
     two aggregations), and exactly replayable in ANSI SQL, so the
     DuckDB oracle checks it bit-for-bit."""
     from .dedup import shingles_md5
+    from .skew import spread_small_scan
+    docs = spread_small_scan(docs)
     sh = docs.select(id_col,
                      F.posexplode(shingles_md5(text_col, k))
                      .alias("pos", "h"))

@@ -30,6 +30,8 @@ HEADLINE = [
     "j1_mode_correspondence", "o3_min_by_nearest", "dedup_exact",
     "lang_id", "token_counts", "quality_len", "minhash_near_dups",
     "simhash_near_dups", "embedding_topk", "events_windowed",
+    "knn_points", "ivf_topk", "cosine_near_dups", "fingerprint",
+    "colour_stretch", "sessionization", "dedup_groups",
 ]
 
 

@@ -387,6 +387,69 @@ def _q_simhash_near_dups(spark, sf):
                              blocks=4, hash_bits=28)
 
 
+def _px_grid(spark, sf):
+    """Deterministic 64x64 pixel grid derived from lineitem (both
+    engines can build it identically): 16 segments of 16x16 px, val =
+    trunc(l_quantity). Lets the U1-U3 spatial-stats UDF kernels be
+    checked against pure-SQL oracles."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    base = li.select(
+        (F.row_number().over(w) - 1).alias("rid"),
+        F.floor("l_quantity").cast("long").alias("val"))
+    px = (base.filter(F.col("rid") < 4096)
+          .select(F.lit("img").alias("image_id"),
+                  (F.col("rid") % 64).alias("x"),
+                  ((F.col("rid") / 64).cast("long") % 64).alias("y"),
+                  "val"))
+    return px.withColumn(
+        "seg_id", ((F.col("x") / 16).cast("long")
+                   + (F.col("y") / 16).cast("long") * 4 + 1))
+
+
+_PX_CTE = """
+        base AS (
+            SELECT row_number() OVER (ORDER BY l_orderkey,
+                       l_linenumber) - 1 AS rid,
+                   CAST(floor(l_quantity) AS BIGINT) AS val
+            FROM lineitem
+        ), px AS (
+            SELECT 'img' AS image_id, rid % 64 AS x,
+                   (rid // 64) % 64 AS y, val,
+                   (rid % 64) // 16 + ((rid // 64) % 64) // 16 * 4
+                       + 1 AS seg_id
+            FROM base WHERE rid < 4096
+        )"""
+
+
+def _q_u2_mean_coords(spark, sf):
+    from pyshepseg_spark.operators.spatialstats import mean_coords
+    px = _px_grid(spark, sf)
+    return mean_coords(px, geotransform=(100.0, 0.5, 0.0,
+                                         200.0, 0.0, -0.5))
+
+
+def _q_u3_edge_pixels(spark, sf):
+    # the REAL applyInPandas kernel (densify-to-bbox + shifted-mask
+    # sums) checked against a relational neighbour-count oracle
+    from pyshepseg_spark.operators.spatialstats import (
+        apply_segment_udf, edge_pixels_udf)
+    px = _px_grid(spark, sf)
+    func, schema = edge_pixels_udf(four_connected=True)
+    return apply_segment_udf(px, func, schema)
+
+
+def _q_u1_variogram(spark, sf):
+    from pyshepseg_spark.operators.spatialstats import (
+        apply_segment_udf, variogram_udf)
+    px = _px_grid(spark, sf)
+    func, schema = variogram_udf(max_dist=2)
+    out = apply_segment_udf(px, func, schema)
+    return out.select("image_id", "seg_id",
+                      F.round("variogram_1", 6).alias("variogram_1"),
+                      F.round("variogram_2", 6).alias("variogram_2"))
+
+
 def _q_fingerprint(spark, sf):
     from pyshepseg_spark.operators.text import fingerprint_md5
     d = _t(spark, sf, "documents")
@@ -540,6 +603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": _q_cosine_near_dups,
         "ivf_topk": _q_ivf_topk,
         "fingerprint": _q_fingerprint,
+        "u1_variogram": _q_u1_variogram,
+        "u2_mean_coords": _q_u2_mean_coords,
+        "u3_edge_pixels": _q_u3_edge_pixels,
         "colour_stretch": _q_colour_stretch,
         "a8_centre_dist": _q_a8_centre_dist,
         "segmentation_zonal": _q_segmentation_zonal,
@@ -641,9 +707,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w2_prefix_offsets": """
             SELECT o_custkey AS tile_id, COUNT(*) AS nseg,
-                   COALESCE(SUM(COUNT(*)) OVER (ORDER BY o_custkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND
-                       1 PRECEDING), 0) AS offset
+                   CAST(COALESCE(SUM(COUNT(*)) OVER (
+                       ORDER BY o_custkey ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS offset
             FROM orders GROUP BY o_custkey
         """,
         "w3_first_touch": """
@@ -751,6 +818,49 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
         "fingerprint": _fingerprint_oracle(),
+        "u2_mean_coords": f"""
+            WITH {_PX_CTE}
+            SELECT image_id, seg_id,
+                   AVG(100.0 + x * 0.5 + y * 0.0) AS mean_easting,
+                   AVG(200.0 + x * 0.0 + y * -0.5) AS mean_northing
+            FROM px GROUP BY image_id, seg_id
+        """,
+        "u3_edge_pixels": f"""
+            WITH {_PX_CTE}, nbr AS (
+                SELECT p.image_id, p.seg_id, p.x, p.y,
+                       COUNT(q.x) AS n
+                FROM px p LEFT JOIN px q
+                  ON q.image_id = p.image_id
+                 AND q.seg_id = p.seg_id
+                 AND abs(q.x - p.x) + abs(q.y - p.y) = 1
+                GROUP BY p.image_id, p.seg_id, p.x, p.y
+            )
+            SELECT image_id, seg_id,
+                   CAST(SUM(CASE WHEN n < 4 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS num_edge_pixels
+            FROM nbr GROUP BY image_id, seg_id
+        """,
+        "u1_variogram": f"""
+            WITH {_PX_CTE}, pairs AS (
+                SELECT p.image_id, p.seg_id,
+                       CAST(round(sqrt((q.x - p.x) * (q.x - p.x)
+                           + (q.y - p.y) * (q.y - p.y))) AS INT)
+                           AS lag,
+                       (q.val - p.val) * (q.val - p.val) AS dv2
+                FROM px p JOIN px q
+                  ON q.image_id = p.image_id
+                 AND q.seg_id = p.seg_id
+                 AND (q.y > p.y OR (q.y = p.y AND q.x > p.x))
+            )
+            SELECT image_id, seg_id,
+                   ROUND(sqrt(SUM(CASE WHEN lag = 1 THEN dv2 END)
+                       * 1.0 / COUNT(CASE WHEN lag = 1 THEN 1 END)),
+                       6) AS variogram_1,
+                   ROUND(sqrt(SUM(CASE WHEN lag = 2 THEN dv2 END)
+                       * 1.0 / COUNT(CASE WHEN lag = 2 THEN 1 END)),
+                       6) AS variogram_2
+            FROM pairs GROUP BY image_id, seg_id
+        """,
         "colour_stretch": """
             WITH stats AS (
                 SELECT o_custkey AS seg_id,

@@ -570,6 +570,32 @@ def _q_point_in_segment(spark, sf):
                             cfg.tile_size, cfg.overlap)
 
 
+def _q_pip_grid(spark, sf):
+    """The REAL point_in_segment probe join (grid arithmetic ->
+    equi-join -> vectorized raster probe) against a deterministic
+    64x64 single-tile segmentation whose raster is SQL-computable
+    (seg = x//16 + 4*(y//16) + 1), so DuckDB can predict every
+    probe's answer."""
+    import numpy as np
+    import pandas as pd
+    from pyshepseg_spark.operators.spatial import point_in_segment
+    yy, xx = np.mgrid[0:64, 0:64]
+    seg = (xx // 16 + (yy // 16) * 4 + 1).astype("<i8")
+    tile = pd.DataFrame([{
+        "image_id": "img", "tcol": 0, "trow": 0, "xout": 0,
+        "yout": 0, "out_xsize": 64, "out_ysize": 64,
+        "segdata": seg.tobytes()}])
+    cust = _t(spark, sf, "customer").select(
+        F.lit("img").alias("image_id"),
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") * 37) % 64).cast("double").alias("x"),
+        ((F.col("c_custkey") * 59) % 64).cast("double").alias("y"))
+    out = point_in_segment(cust, spark.createDataFrame(tile),
+                           tile_size=64, overlap=0)
+    return out.select("point_id", F.col("x").cast("long").alias("x"),
+                      F.col("y").cast("long").alias("y"), "seg_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_histogram": _q_a1_histogram,
@@ -610,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_centre_dist": _q_a8_centre_dist,
         "segmentation_zonal": _q_segmentation_zonal,
         "point_in_segment": _q_point_in_segment,
+        "pip_grid": _q_pip_grid,
     }
 
 
@@ -818,6 +845,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
         "fingerprint": _fingerprint_oracle(),
+        "pip_grid": """
+            SELECT c_custkey AS point_id,
+                   (c_custkey * 37) % 64 AS x,
+                   (c_custkey * 59) % 64 AS y,
+                   ((c_custkey * 37) % 64) // 16
+                       + (((c_custkey * 59) % 64) // 16) * 4 + 1
+                       AS seg_id
+            FROM customer
+        """,
         "u2_mean_coords": f"""
             WITH {_PX_CTE}
             SELECT image_id, seg_id,

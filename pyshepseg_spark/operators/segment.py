@@ -366,14 +366,18 @@ def connected_components(edges, max_rounds=64,
     distributed label-propagation fixpoint below takes over.
     localCheckpoint between rounds cuts lineage (SURVEY.md §7 hard
     part 5)."""
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        return _cc_driver(edges)
+    # single probe job: collect up to threshold+1 rows and decide —
+    # if the list fits, those rows ARE the union-find input (no
+    # second collect/count job)
+    rows = edges.limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        return _cc_driver(edges, rows)
     return _cc_distributed(edges, max_rounds)
 
 
-def _cc_driver(edges):
-    rows = edges.collect()
+def _cc_driver(edges, rows=None):
+    if rows is None:
+        rows = edges.collect()
     parent = {}
 
     def find(x):

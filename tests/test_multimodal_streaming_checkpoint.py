@@ -119,3 +119,55 @@ def test_checkpoint_resume(spark, images_fixture, cfg, tmp_path):
     # lineage recorded per stage
     stages = {r["stage"] for r in lin2.rows}
     assert {"segment", "stitch", "totals"} <= stages
+
+
+def test_streaming_windowed_watermark(spark, tmp_path):
+    """windowed_event_counts over a real two-microbatch stream:
+    append mode only emits windows closed by the advancing watermark,
+    and every emitted row must equal the batch aggregation exactly."""
+    from pyshepseg_spark.streaming.stateful import windowed_event_counts
+    import glob
+    import shutil
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value")
+    med = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5) p") \
+        .first()["p"]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+
+    def emit(df, name):
+        d = tmp_path / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    emit(ev.filter(F.col("ts").cast("double") <= med), "early")
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    out = windowed_event_counts(stream, window="1 hour",
+                                watermark="30 minutes")
+    q = (out.selectExpr("CAST(win.start AS STRING) AS win_start",
+                        "event_type", "n", "value_sum")
+         .writeStream.format("memory").queryName("wec")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    emit(ev.filter(F.col("ts").cast("double") > med), "late")
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM wec").toPandas()
+    assert len(got) > 0, "watermark never closed any window"
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("win"),
+                        "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum("value").alias("value_sum"))
+             .selectExpr("CAST(win.start AS STRING) AS win_start",
+                         "event_type", "n", "value_sum")
+             .toPandas())
+    m = got.merge(batch, on=["win_start", "event_type"],
+                  suffixes=("_s", "_b"))
+    assert len(m) == len(got)          # every emitted key exists
+    assert (m["n_s"] == m["n_b"]).all()
+    assert np.allclose(m["value_sum_s"], m["value_sum_b"])

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyshepseg_spark.sources.catalog import load_table
+    return load_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -143,7 +143,8 @@ def _neighbour_cells(cell_col, ring: int, shift: int, bits: int):
 
 def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
                      ring: int = 1, p_id="point_id", s_id="site_id",
-                     px="x", py="y", sx="x", sy="y"):
+                     px="x", py="y", sx="x", sy="y",
+                     group_cols=()):
     """EXACT kNN join (points x sites), scale-safe:
 
     1. Candidate pass: each site is exploded into its (2*ring+1)^2
@@ -162,9 +163,10 @@ def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
     points), never |points| x |sites|; the fallback is broadcast and
     only touches the sparse tail. Distances are compared as squared
     sums, exact for integer coordinates (d2 column in the output)."""
+    g = list(group_cols)
     r = F.sequence(F.lit(-ring), F.lit(ring))
     s = (sites.select(
-            F.col(s_id).alias("site_id"),
+            *g, F.col(s_id).alias("site_id"),
             F.col(sx).alias("sx"), F.col(sy).alias("sy"))
          .withColumn("dx", F.explode(r))
          .withColumn("dy", F.explode(r))
@@ -177,20 +179,21 @@ def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
          .drop("dx", "dy"))
     from .skew import spread_small_scan
     p = spread_small_scan(points).select(
-        F.col(p_id).alias("point_id"),
+        *g, F.col(p_id).alias("point_id"),
         F.col(px).alias("x_"), F.col(py).alias("y_"),
         F.floor(F.col(px) / cell_size).cast("long").alias("cellx"),
         F.floor(F.col(py) / cell_size).cast("long").alias("celly"))
     d2 = ((F.col("x_") - F.col("sx")) * (F.col("x_") - F.col("sx"))
           + (F.col("y_") - F.col("sy")) * (F.col("y_") - F.col("sy")))
-    w = Window.partitionBy("point_id").orderBy(
+    pkey = g + ["point_id"]
+    w = Window.partitionBy(*pkey).orderBy(
         F.col("d2").asc(), F.col("site_id").asc())
     # rank + per-point completeness stats in one shuffle: the second
-    # window reuses the point_id partitioning, so the candidate join
-    # is shuffled exactly once (ReusedExchange for both consumers)
-    wpt = Window.partitionBy("point_id")
+    # window reuses the point partitioning, so the candidate join is
+    # shuffled exactly once (ReusedExchange for both consumers)
+    wpt = Window.partitionBy(*pkey)
     bound2 = (ring * cell_size) ** 2
-    cand = (p.join(F.broadcast(s), ["cellx", "celly"])
+    cand = (p.join(F.broadcast(s), g + ["cellx", "celly"])
             .withColumn("d2", d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -199,16 +202,31 @@ def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
     exact = cand.filter(F.col("ok"))
     # fallback: provable-exactness failed (or zero candidates) ->
     # full broadcast join for the affected points only
-    ok = exact.select("point_id").distinct()
-    fb_pts = p.join(F.broadcast(ok), "point_id", "left_anti")
-    s_all = sites.select(F.col(s_id).alias("site_id"),
+    ok = exact.select(*pkey).distinct()
+    fb_pts = p.join(F.broadcast(ok), pkey, "left_anti")
+    s_all = sites.select(*g, F.col(s_id).alias("site_id"),
                          F.col(sx).alias("sx"), F.col(sy).alias("sy"))
-    fb = (fb_pts.crossJoin(F.broadcast(s_all))
-          .withColumn("d2", d2)
+    if g:
+        fb = fb_pts.join(F.broadcast(s_all), g)
+    else:
+        fb = fb_pts.crossJoin(F.broadcast(s_all))
+    fb = (fb.withColumn("d2", d2)
           .withColumn("rank", F.row_number().over(w))
           .filter(F.col("rank") <= k))
-    cols = ["point_id", "site_id", "d2", "rank"]
+    cols = pkey + ["site_id", "d2", "rank"]
     return exact.select(*cols).unionByName(fb.select(*cols))
+
+
+def knn_segments_exact(points, centroids, k: int = 3,
+                       cell_size: int = 64, ring: int = 1):
+    """Exact k nearest segment centroids per point (J5), grouped per
+    image — the provably-exact upgrade of knn_segments (same
+    candidate strategy, plus the bound check + fallback)."""
+    out = knn_points_exact(
+        points, centroids, k=k, cell_size=cell_size, ring=ring,
+        p_id="point_id", s_id="seg_id", px="x", py="y",
+        sx="cx", sy="cy", group_cols=("image_id",))
+    return out.withColumnRenamed("site_id", "seg_id")
 
 
 def knn_segments(points, centroids, k: int = 3, ring: int = 2,

@@ -154,3 +154,71 @@ def test_ivf_topk_recall(spark, emb):
         hits += len(e & a)
         tot += len(e)
     assert hits / tot >= 0.8  # recall with nprobe=4 of 8 cells
+
+
+def test_md5_pipeline_cross_engine_random_texts(spark):
+    """Randomized adversarial texts (unicode, punctuation, repeated
+    whitespace, shorter-than-k docs, empty) must produce identical
+    minhash band pairs and simhash values in Spark and DuckDB."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyshepseg_spark.operators.dedup import (minhash_signatures_md5,
+                                                 simhash_md5)
+    rng = np.random.default_rng(3)
+    vocab = ["the", "cat", "über", "naïve", "data!", "x", "12",
+             "a,b", "ünïcödé", "tab\tchar", "END."]
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(0, 30))
+        words = rng.choice(vocab, size=n).tolist()
+        t = "  ".join(words) if i % 3 else " ".join(words).upper()
+        texts.append(t)
+    texts.append("")
+    texts.append("one")
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+
+    got_sim = simhash_md5(docs, k=3).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    got_min = minhash_signatures_md5(docs, num_hashes=8, k=3,
+                                     seed=42).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from pyshepseg_spark.operators.dedup import minhash_coeffs
+    coeffs = minhash_coeffs(8, 42)
+    vals = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                     for i, (a, b) in enumerate(coeffs))
+    import __spark_entry__ as em
+    sh_cte = em._shingle_cte(3)
+    want_min = con.execute(f"""
+        WITH {sh_cte}, hf(i, a, b) AS (VALUES {vals}),
+        sig AS (
+            SELECT sh.doc_id, hf.i,
+                   MIN((sh.h * hf.a + hf.b) % 2147483647) AS v
+            FROM sh CROSS JOIN hf GROUP BY sh.doc_id, hf.i
+        )
+        SELECT doc_id,
+               array_agg(v ORDER BY i) AS minhash
+        FROM sig GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    for a, b in zip(got_min["minhash"], want_min["minhash"]):
+        assert list(a) == list(b)
+
+    want_sim = con.execute(f"""
+        WITH {sh_cte}, bits AS (
+            SELECT doc_id, bp,
+                   SUM(CASE WHEN (h >> bp) & 1 = 1
+                       THEN 1 ELSE -1 END) AS v
+            FROM sh, LATERAL unnest(generate_series(0, 27)) AS t(bp)
+            GROUP BY doc_id, bp
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bp)
+                   ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    assert (got_sim["simhash"].to_numpy()
+            == want_sim["simhash"].to_numpy()).all()

@@ -213,3 +213,44 @@ def test_knn_points_exact_matches_brute_force(spark):
     assert len(got) == len(want)
     for c in want.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_knn_segments_exact_grouped(spark):
+    """Grouped (per-image) exact kNN must equal per-image brute
+    force, including images whose centroids are sparse (fallback)."""
+    import numpy as np
+    import pandas as pd
+    from pyshepseg_spark.operators.spatial import knn_segments_exact
+    rng = np.random.default_rng(11)
+    pts, cents = [], []
+    for img, ncent in [("a", 20), ("b", 2)]:   # b forces fallback
+        for pid in range(60):
+            pts.append((img, pid, float(rng.integers(0, 512)),
+                        float(rng.integers(0, 512))))
+        for sid in range(1, ncent + 1):
+            cents.append((img, sid, float(rng.integers(0, 512)),
+                          float(rng.integers(0, 512))))
+    p = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["image_id", "point_id", "x", "y"]))
+    c = spark.createDataFrame(
+        pd.DataFrame(cents, columns=["image_id", "seg_id", "cx",
+                                     "cy"]))
+    got = knn_segments_exact(p, c, k=3, cell_size=64, ring=1) \
+        .toPandas().sort_values(["image_id", "point_id", "rank"],
+                                ignore_index=True)
+    want = []
+    cdf = pd.DataFrame(cents, columns=["image_id", "seg_id", "cx",
+                                       "cy"])
+    for img, pid, x, y in pts:
+        cc = cdf[cdf.image_id == img]
+        d2 = (cc.cx - x) ** 2 + (cc.cy - y) ** 2
+        order = sorted(zip(d2, cc.seg_id))[:3]
+        for rank, (d, sid) in enumerate(order, 1):
+            want.append((img, pid, sid, d, rank))
+    want = pd.DataFrame(want, columns=["image_id", "point_id",
+                                       "seg_id", "d2", "rank"])
+    want = want.sort_values(["image_id", "point_id", "rank"],
+                            ignore_index=True)
+    assert len(got) == len(want)
+    assert (got["seg_id"].to_numpy() == want["seg_id"].to_numpy()).all()
+    assert np.allclose(got["d2"], want["d2"])

@@ -266,6 +266,39 @@ def _q_tpch_q5ish(spark, sf):
                  F.count("*").alias("n_items")))
 
 
+def _q_tpch_q6ish(spark, sf):
+    # filter-heavy scan: every predicate must reach the parquet scan
+    # (PushedFilters) — the predicate-pushdown showcase
+    li = _t(spark, sf, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1995-01-01"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+def _q_tpch_q3ish(spark, sf):
+    # join + agg + deterministic top-k (order stats over revenue)
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    rev = (j.groupBy("o_orderkey", "o_orderdate")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    w = Window.orderBy(F.col("revenue").desc(),
+                       F.col("o_orderkey").asc())
+    return (rev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("o_orderkey",
+                    F.col("o_orderdate").cast("string")
+                    .alias("o_orderdate"), "revenue", "rk"))
+
+
 def _q_dedup_exact(spark, sf):
     from pyshepseg_spark.operators.dedup import normalized_text
     d = _t(spark, sf, "documents")
@@ -615,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_global_stats": _q_a7_global_stats,
         "tpch_q1": _q_tpch_q1,
         "tpch_q5ish": _q_tpch_q5ish,
+        "tpch_q6ish": _q_tpch_q6ish,
+        "tpch_q3ish": _q_tpch_q3ish,
         "dedup_exact": _q_dedup_exact,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -846,6 +881,31 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
         "fingerprint": _fingerprint_oracle(),
+        "tpch_q6ish": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2)
+                       AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3ish": """
+            WITH rev AS (
+                SELECT o_orderkey, o_orderdate,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)),
+                             2) AS revenue
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY o_orderkey, o_orderdate
+            )
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   revenue,
+                   CAST(row_number() OVER (ORDER BY revenue DESC,
+                       o_orderkey) AS INT) AS rk
+            FROM rev QUALIFY rk <= 10
+        """,
         "pip_grid": """
             SELECT c_custkey AS point_id,
                    (c_custkey * 37) % 64 AS x,

@@ -270,11 +270,11 @@ def _q_tpch_q6ish(spark, sf):
     # filter-heavy scan: every predicate must reach the parquet scan
     # (PushedFilters) — the predicate-pushdown showcase
     li = _t(spark, sf, "lineitem")
-    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01"))
-                      & (F.col("l_shipdate") < F.lit("1995-01-01"))
-                      & (F.col("l_discount") >= 0.05)
-                      & (F.col("l_discount") <= 0.07)
-                      & (F.col("l_quantity") < 24))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.col("l_discount") >= 0.04)
+                      & (F.col("l_discount") <= 0.08)
+                      & (F.col("l_quantity") < 30))
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * F.col("l_discount")), 2)
                  .alias("revenue"),
@@ -886,10 +886,10 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue,
                    COUNT(*) AS n_rows
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-              AND l_shipdate < TIMESTAMP '1995-01-01'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.04 AND l_discount <= 0.08
+              AND l_quantity < 30
         """,
         "tpch_q3ish": """
             WITH rev AS (

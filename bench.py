@@ -32,6 +32,8 @@ HEADLINE = [
     "simhash_near_dups", "embedding_topk", "events_windowed",
     "knn_points", "ivf_topk", "cosine_near_dups", "fingerprint",
     "colour_stretch", "sessionization", "dedup_groups",
+    "tpch_q6ish", "tpch_q3ish", "u1_variogram", "u2_mean_coords",
+    "u3_edge_pixels", "pip_grid",
 ]
 
 

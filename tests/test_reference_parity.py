@@ -9,6 +9,7 @@ functions execute as plain Python — semantically identical, just
 slow — which is why the images here are small.
 """
 
+import importlib.machinery
 import sys
 import types as pytypes
 from types import SimpleNamespace
@@ -17,13 +18,19 @@ import numpy as np
 import pytest
 
 
+def _mk_module(name):
+    m = pytypes.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _install_stubs():
     """Minimal numba + sklearn stand-ins so /root/reference/pyshepseg
     /shepseg.py imports and runs as pure Python."""
     if "numba" in sys.modules:
         return
 
-    numba = pytypes.ModuleType("numba")
+    numba = _mk_module("numba")
 
     def njit(*args, **kw):
         if args and callable(args[0]):
@@ -32,30 +39,37 @@ def _install_stubs():
 
     numba.njit = njit
 
-    class _Ty:
-        def __getitem__(self, item):
-            return self
+    # numpy-scalar-backed type stubs: callable as casts
+    # (types.uint32(x)), usable as numpy dtypes, and sliceable in
+    # jitclass specs (types.uint32[:, :])
+    def _scalar(npty):
+        return type(npty.__name__, (npty,), {
+            "__class_getitem__": classmethod(lambda c, i: c)})
 
-        def __call__(self, *a, **kw):
-            return self
-
-    tmod = pytypes.ModuleType("numba.core.types")
-    for name in ["uint32", "uint8", "int32", "int64", "float32",
-                 "float64", "boolean"]:
-        setattr(tmod, name, _Ty())
-    core = pytypes.ModuleType("numba.core")
+    tmod = _mk_module("numba.core.types")
+    for name, npty in [("uint32", np.uint32), ("uint8", np.uint8),
+                       ("int32", np.int32), ("int64", np.int64),
+                       ("float32", np.float32),
+                       ("float64", np.float64)]:
+        setattr(tmod, name, _scalar(npty))
+    tmod.boolean = _scalar(np.bool_)
+    core = _mk_module("numba.core")
     core.types = tmod
+    numba.typeof = lambda x: None
 
-    typed = pytypes.ModuleType("numba.typed")
+    typed = _mk_module("numba.typed")
 
     class Dict(dict):
+        _dict_type = None
+
         @staticmethod
         def empty(key_type=None, value_type=None):
             return Dict()
 
     typed.Dict = Dict
+    typed.List = list
 
-    exp = pytypes.ModuleType("numba.experimental")
+    exp = _mk_module("numba.experimental")
 
     def jitclass(spec=None):
         def deco(cls):
@@ -74,8 +88,8 @@ def _install_stubs():
         "numba.core.types": tmod, "numba.typed": typed,
         "numba.experimental": exp})
 
-    sk = pytypes.ModuleType("sklearn")
-    skc = pytypes.ModuleType("sklearn.cluster")
+    sk = _mk_module("sklearn")
+    skc = _mk_module("sklearn.cluster")
 
     class KMeans:  # pragma: no cover - the test always passes kmeansObj
         def __init__(self, **kw):
@@ -84,6 +98,31 @@ def _install_stubs():
     skc.KMeans = KMeans
     sk.cluster = skc
     sys.modules.update({"sklearn": sk, "sklearn.cluster": skc})
+
+    # osgeo / scipy stand-ins (import-time only; the tests never
+    # touch GDAL rasters or scipy)
+    class _Any:
+        def __call__(self, *a, **kw):
+            return _Any()
+
+        def __getattr__(self, n):
+            return _Any()
+
+    def _anymod(name):
+        m = _mk_module(name)
+        m.__getattr__ = lambda n: _Any()
+        return m
+
+    osgeo = _anymod("osgeo")
+    for sub in ["gdal", "osr", "gdal_array"]:
+        sm = _anymod(f"osgeo.{sub}")
+        setattr(osgeo, sub, sm)
+        sys.modules[f"osgeo.{sub}"] = sm
+    sys.modules["osgeo"] = osgeo
+    scipy = _anymod("scipy")
+    scipy.stats = _anymod("scipy.stats")
+    sys.modules["scipy"] = scipy
+    sys.modules["scipy.stats"] = scipy.stats
 
 
 @pytest.fixture(scope="module")
@@ -135,3 +174,64 @@ def test_kernel_bitwise_matches_reference(refseg, seed, four):
     assert frac == 1.0, f"segment rasters differ on {1-frac:.4%} px"
     assert float(mine.max_spectral_diff) == pytest.approx(
         float(ref.maxSpectralDiff))
+
+
+@pytest.fixture(scope="module")
+def refstats(refseg):
+    import pyshepseg.tilingstats as ts
+    return ts
+
+
+def test_zonal_stats_match_reference_accumulator(refstats, spark):
+    """The engine's segment_stats finalizers vs the reference's
+    accumulateSegDict + SegmentStats on the same (seg, img) arrays:
+    integer stats (min/max/mode/median/percentile/pixcount) exact,
+    float stats allclose (reference spec stores float32)."""
+    import pandas as pd
+    from pyshepseg_spark.operators.zonal import segment_stats
+    from pyshepseg_spark.sources.codec import decode_image
+    from pyshepseg_spark.sources.imagegen import generate_image
+
+    row, truth = generate_image(3, size=96, k=8)
+    img = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+    band = img[0].astype(np.int64)
+    seg = truth.astype(np.uint32)  # voronoi truth as the seg raster
+
+    # reference accumulation (one tile = whole image)
+    ts = refstats
+    segDict = ts.createSegDict()
+    noDataDict = ts.createNoDataDict()
+    ts.accumulateSegDict(segDict, noDataDict, 65535, seg, band)
+    ref_rows = []
+    for segid, hist in segDict.items():
+        s = ts.SegmentStats(hist, -9999)
+        ref_rows.append({
+            "seg_id": int(segid), "pix_count": int(s.pixCount),
+            "min_val": int(s.min), "max_val": int(s.max),
+            "mean_val": float(s.mean), "stddev_val": float(s.stddev),
+            "mode_val": int(s.mode), "median_val": int(s.median),
+            "p25_val": int(s.getPercentile(25))})
+    ref_df = pd.DataFrame(ref_rows).sort_values(
+        "seg_id", ignore_index=True)
+
+    # engine: histogram from the same arrays -> segment_stats
+    valid = (seg.ravel() > 0) & (band.ravel() != 65535)
+    hist_pdf = (pd.DataFrame({
+        "image_id": "img", "seg_id": seg.ravel()[valid].astype("int64"),
+        "band": 0, "val": band.ravel()[valid], "cnt": 1})
+        .groupby(["image_id", "seg_id", "band", "val"], as_index=False)
+        .agg(cnt=("cnt", "sum")))
+    got = segment_stats(spark.createDataFrame(hist_pdf),
+                        percentiles=(25, 50)).toPandas() \
+        .sort_values("seg_id", ignore_index=True)
+
+    # reference keeps all-nodata segments (pixCount 0) — engine drops
+    # them from the histogram; compare the common set
+    ref_df = ref_df[ref_df.pix_count > 0].reset_index(drop=True)
+    assert list(got["seg_id"]) == list(ref_df["seg_id"])
+    for c in ["pix_count", "min_val", "max_val", "mode_val",
+              "median_val", "p25_val"]:
+        assert (got[c].to_numpy() == ref_df[c].to_numpy()).all(), c
+    assert np.allclose(got["mean_val"], ref_df["mean_val"], rtol=1e-5)
+    assert np.allclose(got["stddev_val"], ref_df["stddev_val"],
+                       rtol=1e-4, atol=1e-4)

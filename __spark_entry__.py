@@ -219,20 +219,16 @@ def _q_f2_affine(spark, sf):
 
 
 def _q_a7_global_stats(spark, sf):
-    # A7: whole-raster stats from the histogram in one agg
+    # A7: whole-raster stats from the histogram — the real operator
+    from pyshepseg_spark.operators.zonal import global_stats_from_histogram
     o = _t(spark, sf, "orders")
-    sizes = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("o_custkey").asc())
-    mode_row = sizes.withColumn("rn", F.row_number().over(w)) \
-        .filter(F.col("rn") == 1) \
-        .select(F.col("o_custkey").alias("mode_seg"))
-    agg = sizes.agg(
-        F.min("o_custkey").alias("min_seg"),
-        F.max("o_custkey").alias("max_seg"),
-        F.round(F.sum(F.col("o_custkey") * F.col("cnt"))
-                / F.sum("cnt"), 4).alias("mean_seg"),
-        F.sum("cnt").alias("pix_count"))
-    return agg.crossJoin(mode_row)
+    sizes = o.groupBy(F.lit("img").alias("image_id"),
+                      F.col("o_custkey").alias("seg_id")) \
+        .agg(F.count("*").alias("cnt"))
+    out = global_stats_from_histogram(sizes)
+    return out.select("min_seg", "max_seg",
+                      F.round("mean_seg", 4).alias("mean_seg"),
+                      "pix_count", "mode_seg", "median_seg")
 
 
 def _q_tpch_q1(spark, sf):
@@ -840,7 +836,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cnt) AS BIGINT) AS pix_count,
                    (SELECT o_custkey FROM sizes
                     ORDER BY cnt DESC, o_custkey ASC LIMIT 1)
-                       AS mode_seg
+                       AS mode_seg,
+                   (SELECT o_custkey FROM (
+                        SELECT o_custkey,
+                               SUM(cnt) OVER (ORDER BY o_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+                               SUM(cnt) OVER () / 2.0 AS half
+                        FROM sizes)
+                    WHERE cum >= half ORDER BY o_custkey LIMIT 1)
+                       AS median_seg
             FROM sizes
         """,
         "tpch_q1": """

@@ -248,8 +248,21 @@ def segment_stats(hist, percentiles=(50,)):
 
 def global_stats_from_histogram(seg_sizes):
     """A7 (utils.py:47-95): whole-raster stats of the segment-ID
-    image derived from the segment-size histogram: one agg."""
-    return (seg_sizes.groupBy("image_id").agg(
+    image derived from the segment-size histogram: one agg plus a
+    cumulative window for the reference's histogram median (first
+    bin whose cumulative count reaches half the pixels,
+    utils.py:68-71)."""
+    from pyspark.sql import Window
+    wcum = (Window.partitionBy("image_id").orderBy("seg_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("image_id")
+    cum = (seg_sizes
+           .withColumn("cum", F.sum("cnt").over(wcum))
+           .withColumn("half", F.sum("cnt").over(wtot) / 2))
+    med = (cum.filter(F.col("cum") >= F.col("half"))
+           .groupBy("image_id")
+           .agg(F.min("seg_id").alias("median_seg")))
+    agg = (seg_sizes.groupBy("image_id").agg(
         F.min("seg_id").alias("min_seg"),
         F.max("seg_id").alias("max_seg"),
         (F.sum(F.col("seg_id") * F.col("cnt"))
@@ -258,6 +271,7 @@ def global_stats_from_histogram(seg_sizes):
                                     (-F.col("seg_id")).alias("nv")))
         .alias("mode_seg"),
         F.sum("cnt").alias("pix_count")))
+    return agg.join(med, "image_id")
 
 
 def segment_sizes(final_tiles):

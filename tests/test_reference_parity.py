@@ -235,3 +235,45 @@ def test_zonal_stats_match_reference_accumulator(refstats, spark):
     assert np.allclose(got["mean_val"], ref_df["mean_val"], rtol=1e-5)
     assert np.allclose(got["stddev_val"], ref_df["stddev_val"],
                        rtol=1e-4, atol=1e-4)
+
+
+def test_global_stats_match_reference_estimate(refseg, spark):
+    """A7: global_stats_from_histogram vs the reference's
+    estimateStatsFromHisto (utils.py:47-95) on the same histogram;
+    the reference writes stats into band metadata, captured by a
+    stub band object."""
+    import pandas as pd
+    import pyshepseg.utils as refutils
+    from pyshepseg_spark.operators.zonal import global_stats_from_histogram
+
+    rng = np.random.default_rng(5)
+    nseg = 40
+    hist = np.zeros(nseg + 1, dtype=np.int64)
+    hist[1:] = rng.integers(0, 500, nseg)
+    hist[7] = 0          # an empty segment id inside the range
+
+    class _Band:
+        DataType = 0     # integer-typed band (not in gdalFloatTypes)
+        md = {}
+
+        def SetMetadataItem(self, k, v):
+            self.md[k] = v
+
+    band = _Band()
+    refutils.estimateStatsFromHisto(band, hist)
+
+    sizes = pd.DataFrame({
+        "image_id": "img",
+        "seg_id": np.arange(nseg + 1)[hist > 0],
+        "cnt": hist[hist > 0]})
+    got = global_stats_from_histogram(
+        spark.createDataFrame(sizes)).collect()[0]
+
+    md = band.md
+    assert got.min_seg == int(md["STATISTICS_MINIMUM"])
+    assert got.max_seg == int(md["STATISTICS_MAXIMUM"])
+    assert got.mode_seg == int(md["STATISTICS_MODE"])
+    assert got.median_seg == int(md["STATISTICS_MEDIAN"])
+    assert got.mean_seg == pytest.approx(
+        float(md["STATISTICS_MEAN"]), rel=1e-12)
+    assert got.pix_count == int(hist.sum())

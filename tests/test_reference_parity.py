@@ -277,3 +277,49 @@ def test_global_stats_match_reference_estimate(refseg, spark):
     assert got.mean_seg == pytest.approx(
         float(md["STATISTICS_MEAN"]), rel=1e-12)
     assert got.pix_count == int(hist.sum())
+
+
+def test_subset_recode_matches_reference(refseg, spark, final_tiles,
+                                         images_fixture):
+    """W3/J4: the engine's subset first-touch recode vs the actual
+    reference processSubsetTile (subset.py:367-424) on the same
+    cropped raster (single tile = whole window, mask included)."""
+    import pyshepseg.subset as refsub
+    from pyspark.sql import functions as F
+    from pyshepseg_spark.operators.segment import assemble_image
+    from pyshepseg_spark.operators.subset import (assemble_subset,
+                                                  subset_segmentation)
+    from tests.conftest import SIZE
+
+    q = SIZE // 4
+    x0 = y0 = q
+    w = h = 2 * q
+
+    def mask_fn(image_id, px, py, pw, ph):
+        yy, xx = np.mgrid[py:py + ph, px:px + pw]
+        return (xx + yy) % 5 != 0          # punch periodic holes
+
+    sub, mapping = subset_segmentation(final_tiles, x0, y0, w, h,
+                                       mask_fn=mask_fn)
+    sp = sub.toPandas()
+    pdf, _, _ = images_fixture
+    for iid in pdf.image_id[:2]:
+        row = pdf[pdf.image_id == iid].iloc[0]
+        fpdf = final_tiles.toPandas()
+        seg_full = assemble_image(fpdf[fpdf.image_id == iid],
+                                  row["w"], row["h"])
+        crop = seg_full[y0:y0 + h, x0:x0 + w].astype(np.uint32)
+        # mask_fn coordinates are window-relative (px/py are piece
+        # offsets within the subset window)
+        mask = mask_fn(iid, 0, 0, w, h).astype(np.int64)
+        recodeDict, histDict = {}, {}
+        ref_out = refsub.processSubsetTile(crop, recodeDict,
+                                           histDict, mask)
+        got = assemble_subset(sp[sp.image_id == iid], w, h)
+        assert (got == np.asarray(ref_out, dtype=np.int64)).all(), iid
+        # J4 mapping equals the reference recodeDict
+        m = mapping.filter(F.col("image_id") == iid).toPandas()
+        ref_map = {int(k): int(v) for k, v in recodeDict.items()}
+        got_map = dict(zip(m.orig_val.astype(int),
+                           m.new_id.astype(int)))
+        assert got_map == ref_map, iid

@@ -122,8 +122,8 @@ def run_level(n, path, flagship_images, tiled_images):
 
 
 def main():
-    flagship_images = int(os.environ.get("SCALING_IMAGES", "192"))
-    tiled_images = int(os.environ.get("SCALING_TILED_IMAGES", "96"))
+    flagship_images = int(os.environ.get("SCALING_IMAGES", "288"))
+    tiled_images = int(os.environ.get("SCALING_TILED_IMAGES", "288"))
     tmp = tempfile.mkdtemp(prefix="scaling_images_")
     path = os.path.join(tmp, "images.parquet")
     gen = subprocess.run(

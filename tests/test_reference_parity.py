@@ -121,6 +121,16 @@ def _install_stubs():
     sys.modules["osgeo"] = osgeo
     scipy = _anymod("scipy")
     scipy.stats = _anymod("scipy.stats")
+
+    def _mode(a, axis=0, **kw):
+        """Real replacement for scipy.stats.mode (used by the
+        reference stitch): most frequent value, ties -> smallest
+        (np.unique returns sorted values; argmax takes the first)."""
+        v, c = np.unique(np.asarray(a).ravel(), return_counts=True)
+        return SimpleNamespace(mode=v[np.argmax(c)],
+                               count=int(c.max()))
+
+    scipy.stats.mode = _mode
     sys.modules["scipy"] = scipy
     sys.modules["scipy.stats"] = scipy.stats
 
@@ -323,3 +333,71 @@ def test_subset_recode_matches_reference(refseg, spark, final_tiles,
         got_map = dict(zip(m.orig_val.astype(int),
                            m.new_id.astype(int)))
         assert got_map == ref_map, iid
+
+
+def test_stitch_matches_reference_sequential(refseg, spark,
+                                             images_fixture, cfg,
+                                             final_tiles):
+    """J1/J2/W2 stitch parity: replay the reference's SEQUENTIAL
+    stitch (recodeSharedSegments mode rule + relabelSegments
+    anchored-ID assignment + running-max offsets, tiling.py:950-1064)
+    over the engine's own per-tile kernel outputs, and require the
+    mosaic to equal the engine's order-independent CC-based stitch
+    bitwise — the core claim that the distributed fixpoint reproduces
+    the reference's sequential chaining."""
+    import pyshepseg.tiling as reftiling
+    from pyshepseg_spark.operators.segment import (assemble_image,
+                                                   segment_images_tiled)
+    from tests.conftest import SIZE
+
+    pdf, _, images = images_fixture
+    _, seg_tiles, _ = segment_images_tiled(images, cfg)
+    stp = seg_tiles.toPandas()
+    fpdf = final_tiles.toPandas()
+    Mgr = reftiling.SegmentationConcurrencyMgr
+    overlap = cfg.overlap
+    margin = overlap // 2
+
+    for iid in pdf.image_id[:2]:
+        tiles = stp[stp.image_id == iid]
+        ntc = int(tiles.ntcols.iloc[0])
+        ntr = int(tiles.ntrows.iloc[0])
+        mosaic = np.zeros((SIZE, SIZE), dtype=np.uint32)
+        cache = {}
+        maxSegId = 0
+        for trow in range(ntr):
+            for tcol in range(ntc):
+                r = tiles[(tiles.tcol == tcol)
+                          & (tiles.trow == trow)].iloc[0]
+                tileData = np.frombuffer(
+                    r.segtile, dtype="<u4").reshape(
+                        r.ysize, r.xsize).copy()
+                top = margin if trow > 0 else 0
+                bottom = r.ysize - margin if trow < ntr - 1 else r.ysize
+                left = margin if tcol > 0 else 0
+                right = r.xsize - margin if tcol < ntc - 1 else r.xsize
+                recodeDict = {}
+                if trow > 0:
+                    Mgr.recodeSharedSegments(
+                        tileData, tileData[:overlap, :],
+                        cache[(tcol, trow - 1, "bottom")],
+                        reftiling.HORIZONTAL, recodeDict)
+                if tcol > 0:
+                    Mgr.recodeSharedSegments(
+                        tileData, tileData[:, :overlap],
+                        cache[(tcol - 1, trow, "right")],
+                        reftiling.VERTICAL, recodeDict)
+                newTile, _ = Mgr.relabelSegments(
+                    tileData, recodeDict, maxSegId,
+                    top, bottom, left, right)
+                trimmed = newTile[top:bottom, left:right]
+                mosaic[r.ypos + top:r.ypos + bottom,
+                       r.xpos + left:r.xpos + right] = trimmed
+                cache[(tcol, trow, "right")] = newTile[:, -overlap:]
+                cache[(tcol, trow, "bottom")] = newTile[-overlap:, :]
+                maxSegId = max(maxSegId, int(trimmed.max()))
+        got = assemble_image(fpdf[fpdf.image_id == iid], SIZE, SIZE)
+        ref = mosaic.astype(np.int64)
+        frac = (got == ref).mean()
+        assert frac == 1.0, (
+            f"{iid}: stitched mosaics differ on {1-frac:.4%} px")

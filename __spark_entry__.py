@@ -944,15 +944,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "u1_variogram": f"""
             WITH {_PX_CTE}, pairs AS (
+                -- reference userFuncVariogram semantics: offsets
+                -- (dy, dx) BOTH in 1..max_dist, TRUNCATED distance
                 SELECT p.image_id, p.seg_id,
-                       CAST(round(sqrt((q.x - p.x) * (q.x - p.x)
+                       CAST(trunc(sqrt((q.x - p.x) * (q.x - p.x)
                            + (q.y - p.y) * (q.y - p.y))) AS INT)
                            AS lag,
                        (q.val - p.val) * (q.val - p.val) AS dv2
                 FROM px p JOIN px q
                   ON q.image_id = p.image_id
                  AND q.seg_id = p.seg_id
-                 AND (q.y > p.y OR (q.y = p.y AND q.x > p.x))
+                 AND q.y - p.y BETWEEN 1 AND 2
+                 AND q.x - p.x BETWEEN 1 AND 2
             )
             SELECT image_id, seg_id,
                    ROUND(sqrt(SUM(CASE WHEN lag = 1 THEN dv2 END)

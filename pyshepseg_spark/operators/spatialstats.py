@@ -81,38 +81,42 @@ def apply_segment_udf(pixels, func, out_schema: str):
 
 
 def variogram_udf(max_dist: int = 5):
-    """U1 (tilingstats.py:1037-1094): per-segment variogram at
-    integer-binned lag distances 1..max_dist — RMS of value
-    differences between pixel pairs whose rounded Euclidean
-    separation equals the lag."""
+    """U1 (tilingstats.py:1037-1094, userFuncVariogram semantics,
+    replicated exactly): densify the segment to its bbox, then for
+    every offset pair (dy, dx) with BOTH in 1..max_dist (the
+    reference never pairs along a pure row/column), bin by the
+    TRUNCATED integer Euclidean distance and accumulate squared
+    value differences; variogram_g = RMS of bin g. Vectorized as
+    shifted-array diffs per offset (max_dist^2 offsets, each a whole-
+    array op — no per-pixel Python)."""
 
     def func(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["x"].to_numpy(np.float64)
-        y = pdf["y"].to_numpy(np.float64)
+        x = pdf["x"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
         v = pdf["val"].to_numpy(np.float64)
-        n = len(x)
-        sums = np.zeros(max_dist + 1)
-        cnts = np.zeros(max_dist + 1, dtype=np.int64)
-        # pairwise in blocks to bound memory for big segments
-        blk = max(1, 4_000_000 // max(n, 1))
-        for s in range(0, n, blk):
-            dx = x[s:s + blk, None] - x[None, :]
-            dy = y[s:s + blk, None] - y[None, :]
-            d = np.round(np.sqrt(dx * dx + dy * dy)).astype(np.int64)
-            dv = v[s:s + blk, None] - v[None, :]
-            m = (d >= 1) & (d <= max_dist)
-            # upper-triangle only: global col index > row index
-            cols = np.arange(n)[None, :]
-            rows = np.arange(s, min(s + blk, n))[:, None]
-            m &= cols > rows
-            np.add.at(sums, d[m], (dv[m]) ** 2)
-            np.add.at(cnts, d[m], 1)
+        x0, y0 = x.min(), y.min()
+        tile = np.full((y.max() - y0 + 1, x.max() - x0 + 1),
+                       np.nan, dtype=np.float64)
+        tile[y - y0, x - x0] = v
+        sums = np.zeros(max_dist, dtype=np.float64)
+        cnts = np.zeros(max_dist, dtype=np.int64)
+        for dy in range(1, max_dist + 1):
+            for dx in range(1, max_dist + 1):
+                dist = int(np.sqrt(dy * dy + dx * dx))
+                if dist > max_dist:
+                    continue
+                a = tile[:-dy, :-dx] if dy and dx else tile
+                b = tile[dy:, dx:]
+                d = a - b
+                m = ~np.isnan(d)
+                sums[dist - 1] += (d[m] ** 2).sum()
+                cnts[dist - 1] += int(m.sum())
         out = {"image_id": pdf["image_id"].iloc[0],
                "seg_id": pdf["seg_id"].iloc[0]}
         for lag in range(1, max_dist + 1):
             out[f"variogram_{lag}"] = (
-                float(np.sqrt(sums[lag] / cnts[lag]))
-                if cnts[lag] > 0 else float("nan"))
+                float(np.sqrt(sums[lag - 1] / cnts[lag - 1]))
+                if cnts[lag - 1] > 0 else float("nan"))
         return pd.DataFrame([out])
 
     schema = ("image_id string, seg_id long, "

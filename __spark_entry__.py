@@ -9,10 +9,15 @@
   histogram/relabel semantics) plus the training-data operators
   (dedup, language ID, quality, token counts, similarity search),
   all over the driver's parquet tables.
-- ``oracle_sql()``: DuckDB equivalents. Raster kernels
-  (segmentation, stitch, PIP, kNN over rasters) are not
-  SQL-expressible over these views; they appear as no-oracle entries
-  and are verified by the pytest suite instead (tests/).
+- ``oracle_sql()``: DuckDB equivalents for every query except the
+  two segmentation-derived ones (segmentation_zonal,
+  point_in_segment), which DuckDB cannot replay — those are covered
+  by the pytest reference-parity suite (bitwise vs the actual
+  reference implementation, tests/test_reference_parity.py), and the
+  probe-join/kNN operators additionally get oracle-checked via
+  SQL-computable fixtures (pip_grid, knn_points). Near-dup hashing
+  (minhash/simhash/fingerprint) uses a cross-engine md5-28bit path
+  so DuckDB replays those pipelines bit-for-bit.
 """
 
 from __future__ import annotations

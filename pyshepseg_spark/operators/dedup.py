@@ -176,15 +176,10 @@ def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
              .filter(F.col("a") < F.col("b"))
              .select("a", "b", "sig_a", "sig_b").distinct())
     # estimated Jaccard = fraction of matching signature positions
-    est = (F.size(F.zip_with("sig_a", "sig_b",
-                             lambda x, y: F.when(x == y, 1)
-                             .otherwise(0)).cast("array<int>")
-                  .alias("zz")),)
     match = F.aggregate(
         F.zip_with("sig_a", "sig_b",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v)
-    _ = est
     return pairs.select(
         "a", "b",
         (match / F.size("sig_a")).alias("est_jaccard"))

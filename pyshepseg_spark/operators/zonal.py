@@ -33,6 +33,97 @@ HIST_SCHEMA = ("image_id string, seg_id long, band int, val long, "
                "cnt long")
 
 
+def stats_histogram_from_stitch(seg_tiles_off, mapping, overlap: int,
+                                img_null_val: int | None = None):
+    """Paint + histogram in ONE kernel pass, emitting only the
+    partial (seg, band, value) histogram rows — the painted mosaic is
+    never materialized. This mirrors the reference's stats lifecycle
+    (calcPerSegmentStatsTiled reads rasters and writes only the RAT,
+    tilingstats.py:85-212): when the consumer wants statistics, a
+    second copy of the mosaic through Arrow is pure memory-bandwidth
+    cost and is the non-scaling fraction at high core counts. Use
+    paint_final_tiles when the raster itself is required."""
+    from .segment import _trim_bounds
+    from .tiling import decode_tile_pixels
+
+    margin = overlap // 2
+    keys = ["image_id", "tcol", "trow"]
+    tg = (seg_tiles_off.filter(F.col("nseg") > 0)
+          .select(*keys, F.explode(
+              F.sequence(F.col("offset") + 1,
+                         F.col("offset") + F.col("nseg")))
+              .alias("gid")))
+    tm = (tg.join(mapping, ["image_id", "gid"])
+          .groupBy(*keys)
+          .agg(F.collect_list(F.struct("gid", "final")).alias("gf")))
+    joined = seg_tiles_off.join(tm, keys, "left")
+
+    def kernel(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segtile, dtype="<u4").reshape(
+                    row.ysize, row.xsize).astype(np.int64)
+                gid = np.where(seg > 0, seg + row.offset, 0)
+                top, bottom, left, right = _trim_bounds(
+                    row.tcol, row.trow, row.ntcols, row.ntrows,
+                    row.xsize, row.ysize, margin)
+                core = gid[top:bottom, left:right]
+                lut = {}
+                if row.gf is not None:
+                    for item in row.gf:
+                        lut[int(item["gid"])] = int(item["final"])
+                u, inv = np.unique(core, return_inverse=True)
+                mapped = np.fromiter(
+                    (0 if g == 0 else lut.get(int(g), 0) for g in u),
+                    dtype=np.int64, count=len(u))
+                final = mapped[inv].reshape(core.shape).ravel()
+                pix = decode_tile_pixels(row.pixels, row.nbands,
+                                         row.ysize, row.xsize)
+                pix_core = pix[:, top:bottom, left:right]
+                valid = final > 0
+                for b in range(row.nbands):
+                    v = pix_core[b].ravel().astype(np.int64)
+                    m = valid
+                    if img_null_val is not None:
+                        m = m & (v != img_null_val)
+                    if not m.any():
+                        continue
+                    key = (final[m] << np.int64(17)) | v[m]
+                    uk, cnt = np.unique(key, return_counts=True)
+                    frames.append(pd.DataFrame({
+                        "image_id": row.image_id,
+                        "seg_id": uk >> 17, "band": b,
+                        "val": uk & ((1 << 17) - 1), "cnt": cnt}))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame(columns=[
+                       "image_id", "seg_id", "band", "val", "cnt"]))
+
+    part = joined.mapInPandas(kernel, HIST_SCHEMA)
+    return (part.groupBy("image_id", "seg_id", "band", "val")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def segment_stats_tiled(images_df, cfg, percentiles=(50,)):
+    """images -> per-segment exact stats WITHOUT materializing the
+    painted mosaic (the stats-only consumption path, one Arrow pass
+    over the tiles after the stitch mapping)."""
+    from .segment import (build_mapping, connected_components,
+                          correspondence_edges, extract_strips,
+                          segment_tiles, with_offsets)
+    from .tiling import explode_tiles
+
+    tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap,
+                          fit_cfg=cfg)
+    st = with_offsets(segment_tiles(tiles, None, cfg)) \
+        .localCheckpoint()
+    edges = correspondence_edges(extract_strips(st, cfg.overlap))
+    mapping = build_mapping(st, connected_components(edges))
+    hist = stats_histogram_from_stitch(st, mapping, cfg.overlap,
+                                       img_null_val=cfg.img_null_val)
+    return segment_stats(hist, percentiles=percentiles)
+
+
 def tile_value_histogram(final_tiles, img_null_val: int | None = None):
     """Stage 1: per-tile partial (seg, band, value) histograms from
     the stitched tiles (segdata int64 + trimmed pixels). mapInPandas;

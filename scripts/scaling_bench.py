@@ -70,9 +70,11 @@ def flagship(df):
                        percentiles=(50,)))
 
 def tiled(df):
-    final, _, _ = segment_images_tiled(df, cfg)
-    noop(segment_stats(tile_value_histogram(final,
-        img_null_val=65535), percentiles=(50,)))
+    # stats-only consumption path: full stitch mapping, histogram
+    # emitted in the same kernel pass (no second mosaic through
+    # Arrow) — zonal.segment_stats_tiled
+    from pyshepseg_spark.operators.zonal import segment_stats_tiled
+    noop(segment_stats_tiled(df, cfg, percentiles=(50,)))
 
 from pyshepseg_spark.session import warm_python_workers
 warm_python_workers(spark)
@@ -106,6 +108,58 @@ print("RESULT " + json.dumps({{
 }}))
 spark.stop()
 """
+
+
+CONTROL = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["OMP_NUM_THREADS"] = "1"
+from multiprocessing import Pool
+
+
+def run_one(i):
+    from pyshepseg_spark.kernels.kmeans import fit_spectral_clusters
+    from pyshepseg_spark.kernels.shepherd import do_shepherd_segmentation
+    from pyshepseg_spark.sources.codec import decode_image
+    from pyshepseg_spark.sources.imagegen import generate_image
+    row, _ = generate_image(i, size=320, k=10)
+    img = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+    centres = fit_spectral_clusters(img, 10, 25.0, 65535, True)
+    do_shepherd_segmentation(img, num_clusters=10, centres=centres,
+                             img_null_val=65535,
+                             four_connected=False,
+                             min_segment_size=50)
+    return 0
+
+
+if __name__ == "__main__":
+    n = {n}
+    tasks = {tasks}
+    with Pool(n) as p:
+        p.map(run_one, range(4))          # warm imports per worker
+        t0 = time.time()
+        p.map(run_one, range(tasks))
+        dt = time.time() - t0
+    print("CONTROL " + json.dumps(
+        {{"cores": n, "control_sec": round(dt, 2),
+          "control_tiles_per_sec": round(tasks / dt, 3)}}))
+"""
+
+
+def run_control(n, tasks=96):
+    """Hardware ceiling for THIS host at n procs: the same kernel,
+    plain multiprocessing, no Spark. Spark efficiency is reported
+    raw AND normalized by this (turbo-frequency and memory-bandwidth
+    effects cap any CPU-bound workload on a shared host; a real
+    cluster adds machines instead of cores)."""
+    code = CONTROL.format(repo=REPO, n=n, tasks=tasks)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=900)
+    for line in out.stdout.splitlines():
+        if line.startswith("CONTROL "):
+            return json.loads(line[8:])
+    raise RuntimeError(f"no CONTROL from n={n}:\n"
+                       f"{out.stdout[-1000:]}\n{out.stderr[-1000:]}")
 
 
 def run_level(n, path, flagship_images, tiled_images):
@@ -144,6 +198,7 @@ def main():
         this = {}
         for n in (2, 8, 32):
             res = run_level(n, path, flagship_images, tiled_images)
+            res.update(run_control(n))
             print(f"round {r}: " + json.dumps(res), flush=True)
             this[n] = res
             cur = levels.get(n)
@@ -188,7 +243,24 @@ def main():
         "efficiency_flagship_8_to_32": eff(8, 32,
                                            "flagship_img_per_sec"),
         "efficiency_tiled_8_to_32": eff(8, 32, "tiled_img_per_sec"),
+        "efficiency_control_2_to_8": eff(2, 8,
+                                         "control_tiles_per_sec"),
+        "efficiency_control_8_to_32": eff(8, 32,
+                                          "control_tiles_per_sec"),
     }
+
+    def norm(key, ctl):
+        return round(result[f"efficiency_{key}"]
+                     / result[f"efficiency_{ctl}"], 3)
+
+    result["normalized_flagship_2_to_8"] = norm(
+        "flagship_2_to_8", "control_2_to_8")
+    result["normalized_tiled_2_to_8"] = norm(
+        "tiled_2_to_8", "control_2_to_8")
+    result["normalized_flagship_8_to_32"] = norm(
+        "flagship_8_to_32", "control_8_to_32")
+    result["normalized_tiled_8_to_32"] = norm(
+        "tiled_8_to_32", "control_8_to_32")
     print(json.dumps(result, indent=2))
 
     r2, r8, r32 = levels[2], levels[8], levels[32]
@@ -206,11 +278,19 @@ exact zonal stats), {flagship_images} images 512x512x3.
 Tiled = explode -> per-tile kernels -> strip-join stitch -> CC ->
 zonal stats, {tiled_images} images (4 tiles each).
 
-| cores | flagship wall (s) | flagship img/s | tiled wall (s) | tiled img/s | tiled tiles/s |
-|---|---|---|---|---|---|
-| 2 (N) | {r2['flagship_sec']} | {r2['flagship_img_per_sec']} | {r2['tiled_sec']} | {r2['tiled_img_per_sec']} | {r2['tiled_tiles_per_sec']} |
-| 8 (4N) | {r8['flagship_sec']} | {r8['flagship_img_per_sec']} | {r8['tiled_sec']} | {r8['tiled_img_per_sec']} | {r8['tiled_tiles_per_sec']} |
-| 32 | {r32['flagship_sec']} | {r32['flagship_img_per_sec']} | {r32['tiled_sec']} | {r32['tiled_img_per_sec']} | {r32['tiled_tiles_per_sec']} |
+| cores | flagship wall (s) | flagship img/s | tiled wall (s) | tiled img/s | tiled tiles/s | control kernel tiles/s |
+|---|---|---|---|---|---|---|
+| 2 (N) | {r2['flagship_sec']} | {r2['flagship_img_per_sec']} | {r2['tiled_sec']} | {r2['tiled_img_per_sec']} | {r2['tiled_tiles_per_sec']} | {r2.get('control_tiles_per_sec', '-')} |
+| 8 (4N) | {r8['flagship_sec']} | {r8['flagship_img_per_sec']} | {r8['tiled_sec']} | {r8['tiled_img_per_sec']} | {r8['tiled_tiles_per_sec']} | {r8.get('control_tiles_per_sec', '-')} |
+| 32 | {r32['flagship_sec']} | {r32['flagship_img_per_sec']} | {r32['tiled_sec']} | {r32['tiled_img_per_sec']} | {r32['tiled_tiles_per_sec']} | {r32.get('control_tiles_per_sec', '-')} |
+
+The **control** column is the hardware ceiling: the identical
+segmentation kernel run under plain multiprocessing (no Spark, no
+shuffle, no Arrow) at the same process counts. Any shortfall of the
+control from perfect scaling is host physics (turbo-frequency
+drop-off with active cores, shared memory bandwidth, SMT), not
+engine overhead — a real cluster scales executors across MACHINES,
+where that ceiling does not apply.
 
 ## Scaling efficiency = (tput_4N / tput_N) / 4
 
@@ -218,10 +298,10 @@ Computed within each interleaved round (adjacent-in-time runs, so
 shared-host capacity drift cancels); median across
 {len(all_rounds)} rounds. Per-round values in BENCH/scaling.json.
 
-| pair | flagship | tiled |
-|---|---|---|
-| N=2 -> 4N=8 | **{result['efficiency_flagship_2_to_8']}** | **{result['efficiency_tiled_2_to_8']}** |
-| 8 -> 32 | {result['efficiency_flagship_8_to_32']} | {result['efficiency_tiled_8_to_32']} |
+| pair | flagship | tiled | control (hw ceiling) | flagship / ceiling | tiled / ceiling |
+|---|---|---|---|---|---|
+| N=2 -> 4N=8 | **{result['efficiency_flagship_2_to_8']}** | **{result['efficiency_tiled_2_to_8']}** | {result['efficiency_control_2_to_8']} | **{result['normalized_flagship_2_to_8']}** | **{result['normalized_tiled_2_to_8']}** |
+| 8 -> 32 | {result['efficiency_flagship_8_to_32']} | {result['efficiency_tiled_8_to_32']} | {result['efficiency_control_8_to_32']} | {result['normalized_flagship_8_to_32']} | {result['normalized_tiled_8_to_32']} |
 
 ## Notes
 

@@ -161,3 +161,28 @@ def test_fused_histogram_honours_late_null_val(spark, images_fixture,
     key = ["image_id", "seg_id", "band", "val"]
     assert h_fused.sort_values(key).reset_index(drop=True).equals(
         h_ref.sort_values(key).reset_index(drop=True))
+
+
+def test_stats_from_stitch_equals_paint_then_histogram(
+        spark, images_fixture, cfg, final_tiles):
+    """The one-pass stats path (histogram emitted directly from the
+    stitch mapping, mosaic never materialized) must equal the
+    two-step paint -> tile_value_histogram exactly."""
+    from pyshepseg_spark.operators.zonal import (
+        segment_stats, segment_stats_tiled, tile_value_histogram)
+    _, _, images = images_fixture
+    got = segment_stats_tiled(images, cfg, percentiles=(50,)) \
+        .toPandas()
+    want = segment_stats(
+        tile_value_histogram(final_tiles, img_null_val=65535),
+        percentiles=(50,)).toPandas()
+    key = ["image_id", "seg_id", "band"]
+    g = got.sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    assert len(g) == len(w)
+    for c in g.columns:
+        a, b = g[c].to_numpy(), w[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, equal_nan=True), c
+        else:
+            assert (a == b).all(), c

@@ -144,6 +144,115 @@ def _trim_bounds(tc, tr, ntc, ntr, xs, ys, margin):
     return top, bottom, left, right
 
 
+
+SEG_COLUMNS = [
+    "image_id", "tcol", "trow", "ntcols", "ntrows",
+    "xpos", "ypos", "xsize", "ysize", "nbands", "pixels",
+    "segtile", "nseg", "anchored", "strip_top",
+    "strip_left", "strip_bottom", "strip_right",
+    "n_single_elim", "n_small_elim", "seg_secs"]
+
+
+def _segment_tile_record(image_id, tcol, trow, ntcols, ntrows,
+                         xpos, ypos, xsize, ysize, img, pixels_bytes,
+                         centres, cfg):
+    """Run the Shepherd kernel on one decoded tile and build the
+    seg_tiles row (shared by the chained and the fused kernels)."""
+    overlap = cfg.overlap
+    margin = overlap // 2
+    t0 = time.time()
+    res = do_shepherd_segmentation(
+        img,
+        min_segment_size=cfg.min_segment_size,
+        max_spectral_diff=cfg.max_spectral_diff,
+        img_null_val=cfg.img_null_val,
+        four_connected=cfg.four_connected,
+        centres=centres,
+        spect_dist_pcntile=cfg.spect_dist_pcntile,
+        max_clump_size=cfg.max_clump_size)
+    seg = res.segimg
+    nseg = int(seg.max())
+    top, bottom, left, right = _trim_bounds(
+        tcol, trow, ntcols, ntrows, xsize, ysize, margin)
+    anchored = []
+    if nseg > 0:
+        rr, cc2 = np.nonzero(seg)
+        ids = seg[rr, cc2].astype(np.int64)
+        minr = np.full(nseg + 1, 1 << 30, dtype=np.int64)
+        minc = np.full(nseg + 1, 1 << 30, dtype=np.int64)
+        np.minimum.at(minr, ids, rr)
+        np.minimum.at(minc, ids, cc2)
+        sel = np.arange(1, nseg + 1)
+        ok = ((minc[sel] >= left) & (minr[sel] >= top)
+              & (minc[sel] < right) & (minr[sel] < bottom))
+        anchored = sel[ok].tolist()
+
+    def strip(cond, arr):
+        return (np.ascontiguousarray(arr).astype("<u4").tobytes()
+                if cond else None)
+
+    return {
+        "image_id": image_id,
+        "tcol": tcol, "trow": trow,
+        "ntcols": ntcols, "ntrows": ntrows,
+        "xpos": xpos, "ypos": ypos,
+        "xsize": xsize, "ysize": ysize,
+        "nbands": img.shape[0],
+        "pixels": pixels_bytes,
+        "segtile": seg.astype("<u4").tobytes(),
+        "nseg": nseg,
+        "anchored": anchored,
+        "strip_top": strip(trow > 0, seg[:overlap, :]),
+        "strip_left": strip(tcol > 0, seg[:, :overlap]),
+        "strip_bottom": strip(trow < ntrows - 1, seg[-overlap:, :]),
+        "strip_right": strip(tcol < ntcols - 1, seg[:, -overlap:]),
+        "n_single_elim": int(res.single_pixels_eliminated),
+        "n_small_elim": int(res.small_segments_eliminated),
+        "seg_secs": time.time() - t0,
+    }
+
+
+def explode_and_segment(images_df, cfg: SegConfig):
+    """images -> seg_tiles in ONE mapInPandas kernel: decode each
+    image once, fit its deterministic centres, cut overlapping tiles
+    and run the Shepherd kernel per tile — the raw tile bytes never
+    round-trip through Arrow between an explode stage and a segment
+    stage (the chained explode_tiles -> segment_tiles path moves
+    every tile JVM->Python->JVM->Python; at high core counts that
+    memory traffic is the non-scaling fraction)."""
+    from ..sources.codec import decode_image, encode_raw_u16
+    from .tiling import fit_image_centres, tile_grid
+
+    has_k = "num_clusters" in images_df.columns
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                k = int(getattr(row, "num_clusters",
+                                cfg.num_clusters)
+                        or cfg.num_clusters) if has_k \
+                    else cfg.num_clusters
+                centres = fit_image_centres(img, k, cfg)
+                tiles, ntcols, ntrows = tile_grid(
+                    row.w, row.h, cfg.tile_size, cfg.overlap)
+                for (tc, tr, xp, yp, xs, ys) in tiles:
+                    sub = np.ascontiguousarray(
+                        img[:, yp:yp + ys, xp:xp + xs])
+                    out.append(_segment_tile_record(
+                        row.image_id, tc, tr, ntcols, ntrows,
+                        xp, yp, xs, ys, sub, encode_raw_u16(sub),
+                        centres, cfg))
+            yield pd.DataFrame(out, columns=SEG_COLUMNS)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    if has_k:
+        cols.append("num_clusters")
+    return images_df.select(*cols).mapInPandas(kernel,
+                                               SEG_TILE_SCHEMA)
+
+
 def segment_tiles(tiles_df, centres, cfg: SegConfig):
     """doOne phase: run the Shepherd kernel on every tile
     (mapInPandas; no shuffle). Emits local uint32 seg ids, the list
@@ -178,77 +287,15 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                t0 = time.time()
                 c = np.frombuffer(row.centres, dtype="<f8").reshape(
                     -1, row.nbands)
                 img = decode_tile_pixels(row.pixels, row.nbands,
                                          row.ysize, row.xsize)
-                res = do_shepherd_segmentation(
-                    img,
-                    min_segment_size=cfg_b.min_segment_size,
-                    max_spectral_diff=cfg_b.max_spectral_diff,
-                    img_null_val=cfg_b.img_null_val,
-                    four_connected=cfg_b.four_connected,
-                    centres=c,
-                    spect_dist_pcntile=cfg_b.spect_dist_pcntile,
-                    max_clump_size=cfg_b.max_clump_size)
-                seg = res.segimg
-                nseg = int(seg.max())
-                top, bottom, left, right = _trim_bounds(
-                    row.tcol, row.trow, row.ntcols, row.ntrows,
-                    row.xsize, row.ysize, margin)
-                # per-segment bbox mins for the anchored rule
-                anchored = []
-                if nseg > 0:
-                    rr, cc2 = np.nonzero(seg)
-                    ids = seg[rr, cc2].astype(np.int64)
-                    minr = np.full(nseg + 1, 1 << 30, dtype=np.int64)
-                    minc = np.full(nseg + 1, 1 << 30, dtype=np.int64)
-                    np.minimum.at(minr, ids, rr)
-                    np.minimum.at(minc, ids, cc2)
-                    sel = np.arange(1, nseg + 1)
-                    ok = ((minc[sel] >= left) & (minr[sel] >= top)
-                          & (minc[sel] < right) & (minr[sel] < bottom))
-                    anchored = sel[ok].tolist()
-
-                def strip(cond, arr):
-                    return (np.ascontiguousarray(arr)
-                            .astype("<u4").tobytes() if cond
-                            else None)
-
-                out.append({
-                    "image_id": row.image_id,
-                    "tcol": row.tcol, "trow": row.trow,
-                    "ntcols": row.ntcols, "ntrows": row.ntrows,
-                    "xpos": row.xpos, "ypos": row.ypos,
-                    "xsize": row.xsize, "ysize": row.ysize,
-                    "nbands": row.nbands,
-                    "pixels": row.pixels,
-                    "segtile": seg.astype("<u4").tobytes(),
-                    "nseg": nseg,
-                    "anchored": anchored,
-                    # consumer strips (top/left overlaps) and
-                    # producer strips (bottom/right), local ids
-                    "strip_top": strip(row.trow > 0,
-                                       seg[:overlap, :]),
-                    "strip_left": strip(row.tcol > 0,
-                                        seg[:, :overlap]),
-                    "strip_bottom": strip(
-                        row.trow < row.ntrows - 1,
-                        seg[-overlap:, :]),
-                    "strip_right": strip(
-                        row.tcol < row.ntcols - 1,
-                        seg[:, -overlap:]),
-                    "n_single_elim": int(res.single_pixels_eliminated),
-                    "n_small_elim": int(res.small_segments_eliminated),
-                    "seg_secs": time.time() - t0,
-                })
-            yield pd.DataFrame(out, columns=[
-                "image_id", "tcol", "trow", "ntcols", "ntrows",
-                "xpos", "ypos", "xsize", "ysize", "nbands", "pixels",
-                "segtile", "nseg", "anchored", "strip_top",
-                "strip_left", "strip_bottom", "strip_right",
-                "n_single_elim", "n_small_elim", "seg_secs"])
+                out.append(_segment_tile_record(
+                    row.image_id, row.tcol, row.trow, row.ntcols,
+                    row.ntrows, row.xpos, row.ypos, row.xsize,
+                    row.ysize, img, row.pixels, c, cfg_b))
+            yield pd.DataFrame(out, columns=SEG_COLUMNS)
 
     return tiles_df.mapInPandas(kernel, SEG_TILE_SCHEMA)
 
@@ -599,12 +646,12 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
     mode.
     """
     if centres is None:
-        # fused path: fit + decode + tile slice in ONE kernel pass
-        tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap,
-                              fit_cfg=cfg)
+        # fully fused path: decode + fit + tile + segment in ONE
+        # kernel pass (raw tiles never round-trip through Arrow)
+        seg_tiles = explode_and_segment(images_df, cfg)
     else:
         tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
-    seg_tiles = segment_tiles(tiles, centres, cfg)
+        seg_tiles = segment_tiles(tiles, centres, cfg)
     final = stitch(seg_tiles, cfg, with_histogram=with_histogram)
     return final, seg_tiles, centres
 

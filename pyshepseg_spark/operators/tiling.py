@@ -77,6 +77,22 @@ def morton_cell(x: int, y: int, bits: int = 16) -> int:
     return v
 
 
+
+def fit_image_centres(img, k, cfg):
+    """Deterministic per-image centre fit on a strided non-null
+    sample (the reference's ~1e6-px sampling rule scaled to image
+    size; tiling.py:196-210 + shepseg.py:290-298)."""
+    from ..kernels.kmeans import fit_spectral_clusters_sample
+    nbands = img.shape[0]
+    x = img.transpose(1, 2, 0).reshape(-1, nbands)
+    if cfg.img_null_val is not None:
+        x = x[(x != cfg.img_null_val).all(axis=1)]
+    npix = x.shape[0]
+    target = min(npix, max(npix // 100, k * 200, 2000))
+    x = x[::max(1, npix // target)].astype(np.float64)
+    return fit_spectral_clusters_sample(x, k, cfg.fixed_kmeans_init)
+
+
 def explode_tiles(images_df, tile_size: int, overlap: int,
                   cell_shift: int = 8, fit_cfg=None):
     """images DataFrame -> tiles DataFrame (one row per overlapping
@@ -95,7 +111,6 @@ def explode_tiles(images_df, tile_size: int, overlap: int,
     has_k = fit_cfg is not None and "num_clusters" in images_df.columns
 
     def kernel(batches):
-        from ..kernels.kmeans import fit_spectral_clusters_sample
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
@@ -103,20 +118,12 @@ def explode_tiles(images_df, tile_size: int, overlap: int,
                 nbands = img.shape[0]
                 centres_bytes = None
                 if fit_cfg is not None:
-                    x = img.transpose(1, 2, 0).reshape(-1, nbands)
-                    if fit_cfg.img_null_val is not None:
-                        x = x[(x != fit_cfg.img_null_val).all(axis=1)]
                     k = int(getattr(row, "num_clusters",
                                     fit_cfg.num_clusters)
                             or fit_cfg.num_clusters) if has_k \
                         else fit_cfg.num_clusters
-                    npix = x.shape[0]
-                    target = min(npix, max(npix // 100, k * 200,
-                                           2000))
-                    x = x[::max(1, npix // target)].astype(np.float64)
-                    centres_bytes = fit_spectral_clusters_sample(
-                        x, k, fit_cfg.fixed_kmeans_init
-                    ).astype("<f8").tobytes()
+                    centres_bytes = fit_image_centres(
+                        img, k, fit_cfg).astype("<f8").tobytes()
                 tiles, ntcols, ntrows = tile_grid(
                     row.w, row.h, tile_size, overlap)
                 for (tc, tr, xp, yp, xs, ys) in tiles:

@@ -109,13 +109,10 @@ def segment_stats_tiled(images_df, cfg, percentiles=(50,)):
     painted mosaic (the stats-only consumption path, one Arrow pass
     over the tiles after the stitch mapping)."""
     from .segment import (build_mapping, connected_components,
-                          correspondence_edges, extract_strips,
-                          segment_tiles, with_offsets)
-    from .tiling import explode_tiles
+                          correspondence_edges, explode_and_segment,
+                          extract_strips, with_offsets)
 
-    tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap,
-                          fit_cfg=cfg)
-    st = with_offsets(segment_tiles(tiles, None, cfg)) \
+    st = with_offsets(explode_and_segment(images_df, cfg)) \
         .localCheckpoint()
     edges = correspondence_edges(extract_strips(st, cfg.overlap))
     mapping = build_mapping(st, connected_components(edges))

@@ -605,6 +605,27 @@ def _q_point_in_segment(spark, sf):
                             cfg.tile_size, cfg.overlap)
 
 
+def _q_asof_join(spark, sf):
+    # custom operator Spark lacks: backward as-of join (clicks pick
+    # up the most recent prior view per user), window-based — DuckDB
+    # oracle uses its native ASOF JOIN
+    from pyshepseg_spark.operators.asof import asof_join
+    ev = _t(spark, sf, "events")
+    # unique (user, ts) per side for determinism
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.round(F.max("value"), 4).alias("value")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.round(F.max("value"), 4).alias("value")))
+    out = asof_join(clicks, views, on="ts", by=("user_id",),
+                    right_cols=("value",))
+    return out.select(
+        "user_id", F.col("ts").cast("string").alias("ts"), "value",
+        F.col("ts_r").cast("string").alias("ts_r"),
+        F.col("value_r").cast("double").alias("value_r"))
+
+
 def _q_pip_grid(spark, sf):
     """The REAL point_in_segment probe join (grid arithmetic ->
     equi-join -> vectorized raster probe) against a deterministic
@@ -674,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentation_zonal": _q_segmentation_zonal,
         "point_in_segment": _q_point_in_segment,
         "pip_grid": _q_pip_grid,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -915,6 +937,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY revenue DESC,
                        o_orderkey) AS INT) AS rk
             FROM rev QUALIFY rk <= 10
+        """,
+        "asof_join": """
+            WITH clicks AS (
+                SELECT user_id, ts, ROUND(MAX(value), 4) AS value
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            ), views AS (
+                SELECT user_id, ts, ROUND(MAX(value), 4) AS value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            )
+            SELECT c.user_id, CAST(c.ts AS VARCHAR) AS ts, c.value,
+                   CAST(v.ts AS VARCHAR) AS ts_r,
+                   v.value AS value_r
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "pip_grid": """
             SELECT c_custkey AS point_id,

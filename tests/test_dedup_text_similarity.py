@@ -222,3 +222,45 @@ def test_md5_pipeline_cross_engine_random_texts(spark):
     """).df()
     assert (got_sim["simhash"].to_numpy()
             == want_sim["simhash"].to_numpy()).all()
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join vs pandas merge_asof on random keyed series,
+    including the tolerance path and keys with no match."""
+    import numpy as np
+    import pandas as pd
+    from pyshepseg_spark.operators.asof import asof_join
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 6, 80),
+        "ts": rng.integers(0, 1000, 80),
+        "lv": rng.random(80).round(3)}).drop_duplicates(
+            ["user_id", "ts"])
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 8, 60),
+        "ts": rng.integers(0, 1000, 60),
+        "value": rng.random(60).round(3)}).drop_duplicates(
+            ["user_id", "ts"])
+    for tol in [None, 100]:
+        got = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right), on="ts",
+            by=("user_id",), right_cols=("value",),
+            tolerance_seconds=tol).toPandas() \
+            .sort_values(["user_id", "ts"], ignore_index=True)
+        want = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts").rename(
+                columns={"ts": "ts_r", "value": "value_r"}),
+            left_on="ts", right_on="ts_r", by="user_id",
+            direction="backward",
+            tolerance=tol).sort_values(
+                ["user_id", "ts"], ignore_index=True)
+        assert len(got) == len(want)
+        for c in ["user_id", "ts", "lv"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        for c in ["ts_r", "value_r"]:
+            a = got[c].astype(float).to_numpy()
+            b = want[c].astype(float).to_numpy()
+            assert ((np.isnan(a) & np.isnan(b))
+                    | (a == b)).all(), (c, tol)

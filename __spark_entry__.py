@@ -605,6 +605,52 @@ def _q_point_in_segment(spark, sf):
                             cfg.tile_size, cfg.overlap)
 
 
+def _q_range_join(spark, sf):
+    # bucketed interval-containment join: customers (points) against
+    # part-derived intervals; oracle is the plain theta join
+    from pyshepseg_spark.operators.spatial import range_join
+    pts = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 91) % 1000).alias("v"))
+    ivl = _t(spark, sf, "part").filter(F.col("p_partkey") <= 200) \
+        .select(F.col("p_partkey").alias("iid"),
+                ((F.col("p_partkey") * 37) % 1000).alias("lo")) \
+        .withColumn("hi", F.col("lo") + (F.col("iid") % 50) + 1)
+    return range_join(pts, ivl, point_id="pid", interval_id="iid")
+
+
+def _q_morton_cells(spark, sf):
+    # the engine's Morton (Z-order) cell index as a pure column
+    # expression, oracle-checked bit for bit
+    from pyshepseg_spark.operators.spatial import cell_expr
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 37) % 4096).alias("x"),
+        ((F.col("c_custkey") * 59) % 4096).alias("y"))
+    return c.select("pid", "x", "y",
+                    cell_expr("x", "y", shift=6, bits=12)
+                    .alias("cell"))
+
+
+def _morton_oracle() -> str:
+    xb = " + ".join(
+        f"((( (x // 64) >> {i}) & 1) << {2 * i})" for i in range(12))
+    yb = " + ".join(
+        f"((( (y // 64) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(12))
+    return f"""
+        WITH c AS (
+            SELECT c_custkey AS pid,
+                   (c_custkey * 37) % 4096 AS x,
+                   (c_custkey * 59) % 4096 AS y
+            FROM customer
+        )
+        SELECT pid, x, y,
+               CAST({xb} + {yb} AS BIGINT) AS cell
+        FROM c
+    """
+
+
 def _q_asof_join(spark, sf):
     # custom operator Spark lacks: backward as-of join (clicks pick
     # up the most recent prior view per user), window-based — DuckDB
@@ -696,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_segment": _q_point_in_segment,
         "pip_grid": _q_pip_grid,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "morton_cells": _q_morton_cells,
     }
 
 
@@ -938,6 +986,22 @@ def oracle_sql() -> dict[str, str]:
                        o_orderkey) AS INT) AS rk
             FROM rev QUALIFY rk <= 10
         """,
+        "range_join": """
+            WITH pts AS (
+                SELECT c_custkey AS point_id,
+                       (c_custkey * 91) % 1000 AS v
+                FROM customer
+            ), ivl AS (
+                SELECT p_partkey AS interval_id,
+                       (p_partkey * 37) % 1000 AS lo,
+                       (p_partkey * 37) % 1000
+                           + (p_partkey % 50) + 1 AS hi
+                FROM part WHERE p_partkey <= 200
+            )
+            SELECT point_id, interval_id, v, lo, hi
+            FROM pts JOIN ivl ON v >= lo AND v <= hi
+        """,
+        "morton_cells": _morton_oracle(),
         "asof_join": """
             WITH clicks AS (
                 SELECT user_id, ts, ROUND(MAX(value), 4) AS value

@@ -141,6 +141,30 @@ def _neighbour_cells(cell_col, ring: int, shift: int, bits: int):
     return nbrs(cell_col)
 
 
+def range_join(points, intervals, point_id="point_id", v="v",
+               interval_id="interval_id", lo="lo", hi="hi",
+               bucket: int = 64):
+    """Interval-containment join without the quadratic theta join:
+    each interval is exploded into the buckets it overlaps, points
+    equi-join on their single bucket, then an exact between-refine.
+    Shuffle is proportional to interval-length/bucket, never
+    |points| x |intervals| (the classic range-join bucketing that
+    Spark's optimizer does not do for you)."""
+    ivl = (intervals.select(
+            F.col(interval_id).alias("interval_id"),
+            F.col(lo).alias("lo"), F.col(hi).alias("hi"))
+           .withColumn("bucket", F.explode(F.sequence(
+               F.floor(F.col("lo") / bucket),
+               F.floor(F.col("hi") / bucket)))))
+    p = points.select(F.col(point_id).alias("point_id"),
+                      F.col(v).alias("v")) \
+        .withColumn("bucket", F.floor(F.col("v") / bucket))
+    return (p.join(ivl, "bucket")
+            .filter((F.col("v") >= F.col("lo"))
+                    & (F.col("v") <= F.col("hi")))
+            .select("point_id", "interval_id", "v", "lo", "hi"))
+
+
 def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
                      ring: int = 1, p_id="point_id", s_id="site_id",
                      px="x", py="y", sx="x", sy="y",

@@ -33,7 +33,8 @@ HEADLINE = [
     "knn_points", "ivf_topk", "cosine_near_dups", "fingerprint",
     "colour_stretch", "sessionization", "dedup_groups",
     "tpch_q6ish", "tpch_q3ish", "u1_variogram", "u2_mean_coords",
-    "u3_edge_pixels", "pip_grid",
+    "u3_edge_pixels", "pip_grid", "asof_join", "range_join",
+    "morton_cells",
 ]
 
 

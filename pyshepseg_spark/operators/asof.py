@@ -32,6 +32,12 @@ def asof_join(left, right, on: str = "ts", by=("user_id",),
     (the matched right timestamp, null when no match /
     outside tolerance)."""
     by = list(by)
+    clash = [c for c in ([on + suffix]
+                         + [c + suffix for c in right_cols]
+                         + ["_side"]) if c in left.columns]
+    if clash:
+        raise ValueError(f"left already has columns {clash}; "
+                         f"pick another suffix")
     rsel = (right.select(
         *by, F.col(on).alias(on + suffix),
         *[F.col(c).alias(c + suffix) for c in right_cols])

@@ -656,19 +656,35 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
     return final, seg_tiles, centres
 
 
-def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False):
+def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
+           simple_recode: bool = False):
     """Stitch phase on a (possibly checkpoint-restored) seg_tiles.
 
     seg_tiles fans out into four consumers (strips, anchored gids,
     gid ranges, paint); localCheckpoint materializes the expensive
     kernel output exactly once so the fan-out never re-runs the
     segmentation (on a cluster this is the durable S6 checkpoint
-    instead — plans/checkpoint.py)."""
+    instead — plans/checkpoint.py).
+
+    simple_recode=True is the reference's simpleTileRecode mode
+    (tiling.py:1024-1030): every tile's local IDs are just offset to
+    be globally unique; boundary segments are NOT merged across
+    tiles (faster, used when cross-tile consistency is not needed).
+    Expressed here as an identity gid mapping — no strip join, no
+    CC, no shuffle beyond the offset window."""
     st = with_offsets(seg_tiles).localCheckpoint()
-    strips = extract_strips(st, cfg.overlap)
-    edges = correspondence_edges(strips)
-    cc = connected_components(edges)
-    mapping = build_mapping(st, cc)
+    if simple_recode:
+        mapping = (st.filter(F.col("nseg") > 0)
+                   .select("image_id", F.explode(F.sequence(
+                       F.col("offset") + 1,
+                       F.col("offset") + F.col("nseg")))
+                       .alias("gid"))
+                   .withColumn("final", F.col("gid")))
+    else:
+        strips = extract_strips(st, cfg.overlap)
+        edges = correspondence_edges(strips)
+        cc = connected_components(edges)
+        mapping = build_mapping(st, cc)
     return paint_final_tiles(st, mapping, cfg.overlap,
                              with_histogram=with_histogram,
                              img_null_val=cfg.img_null_val)

@@ -186,3 +186,26 @@ def test_stats_from_stitch_equals_paint_then_histogram(
             assert np.allclose(a, b, equal_nan=True), c
         else:
             assert (a == b).all(), c
+
+
+def test_simple_recode_mode(spark, images_fixture, cfg):
+    """simpleTileRecode analogue (tiling.py:1024-1030): tile-local
+    IDs offset to global uniqueness, NO cross-tile merging — every
+    painted id maps back to exactly one (tile, local id), and ids
+    from different tiles never collide."""
+    from pyshepseg_spark.operators.segment import (explode_and_segment,
+                                                   stitch)
+    _, _, images = images_fixture
+    st = explode_and_segment(images, cfg)
+    final = stitch(st, cfg, simple_recode=True).toPandas()
+    seg_tiles = st.toPandas()
+    for iid, g in final.groupby("image_id"):
+        ids = set()
+        for t in g.itertuples(index=False):
+            seg = np.frombuffer(t.segdata, dtype="<i8")
+            tids = set(int(v) for v in np.unique(seg[seg > 0]))
+            assert not (ids & tids), "cross-tile id collision"
+            ids |= tids
+        n_local = seg_tiles[seg_tiles.image_id == iid].nseg.sum()
+        # ids are a subset of 1..sum(nseg) (margin-only ids trimmed)
+        assert max(ids) <= n_local and min(ids) >= 1

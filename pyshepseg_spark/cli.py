@@ -51,6 +51,25 @@ def cmd_segment(args):
     print(f"wrote stitched tiles to {args.out}")
 
 
+def cmd_pipeline(args):
+    """images parquet -> per-segment stats parquet in one go (the
+    stats-only consumption path: full stitch mapping, histogram
+    fused into the paint pass, mosaic never materialized)."""
+    spark = _session(args)
+    from .operators.segment import SegConfig
+    from .operators.zonal import segment_stats_tiled
+    cfg = SegConfig(img_null_val=args.null_val,
+                    four_connected=args.four_connected,
+                    min_segment_size=args.min_segment_size,
+                    num_clusters=args.num_clusters,
+                    tile_size=args.tilesize, overlap=args.overlap)
+    images = spark.read.parquet(args.images)
+    pcts = tuple(int(p) for p in args.percentiles.split(","))
+    segment_stats_tiled(images, cfg, percentiles=pcts) \
+        .write.mode("overwrite").parquet(args.out)
+    print(f"wrote per-segment stats to {args.out}")
+
+
 def cmd_stats(args):
     spark = _session(args)
     from .operators.zonal import segment_stats, tile_value_histogram
@@ -97,6 +116,21 @@ def main(argv=None):
                    action=argparse.BooleanOptionalAction)
     _add_common(s)
     s.set_defaults(fn=cmd_segment)
+
+    pl = sub.add_parser("pipeline",
+                        help="segment + zonal stats in one pass")
+    pl.add_argument("--images", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--tilesize", type=int, default=4096)
+    pl.add_argument("--overlap", type=int, default=1024)
+    pl.add_argument("--num-clusters", type=int, default=60)
+    pl.add_argument("--min-segment-size", type=int, default=50)
+    pl.add_argument("--null-val", type=int, default=None)
+    pl.add_argument("--four-connected", default=True,
+                    action=argparse.BooleanOptionalAction)
+    pl.add_argument("--percentiles", default="50")
+    _add_common(pl)
+    pl.set_defaults(fn=cmd_pipeline)
 
     st = sub.add_parser("stats", help="per-segment zonal stats")
     st.add_argument("--final", required=True)

@@ -605,6 +605,35 @@ def _q_point_in_segment(spark, sf):
                             cfg.tile_size, cfg.overlap)
 
 
+def _q_image_features(spark, sf):
+    # multimodal plumbing (rows-only: DuckDB cannot decode the image
+    # codec): per-image per-band stats via mapInPandas over the
+    # binary column, deterministic synthetic images
+    from pyshepseg_spark.operators.multimodal import image_features
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    pdf = generate_images_pdf(8, size=128, seed=42)
+    return image_features(spark.createDataFrame(pdf),
+                          img_null_val=65535)
+
+
+def _q_embedding_near_dups_lsh(spark, sf):
+    # LSH scale path for embedding near-dups (rows-only: the random-
+    # hyperplane sketch is float-matmul, not SQL-replayable; the
+    # exact twin cosine_near_dups carries the value oracle)
+    from pyshepseg_spark.operators.dedup import embedding_near_dups
+    e = _t(spark, sf, "embeddings")
+    # plant deterministic near-dups: scaled copies keep cosine == 1
+    # and the same hyperplane sketch, so LSH must recover them
+    dup = (e.filter(F.col("vec_id") < 20)
+           .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda x: x * F.lit(1.0001))
+                   .alias("embedding"),
+                   "label"))
+    return embedding_near_dups(e.unionByName(dup),
+                               threshold=0.999, bits=12)
+
+
 def _q_range_join(spark, sf):
     # bucketed interval-containment join: customers (points) against
     # part-derived intervals; oracle is the plain theta join
@@ -744,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "morton_cells": _q_morton_cells,
+        "image_features": _q_image_features,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
     }
 
 

@@ -72,4 +72,6 @@ def test_no_oracle_queries_run(spark):
     # only segmentation-derived queries may lack an oracle (DuckDB
     # cannot replay the raster kernels); they are exercised by the
     # pipeline tests instead
-    assert no_oracle <= {"segmentation_zonal", "point_in_segment"}
+    assert no_oracle <= {"segmentation_zonal", "point_in_segment",
+                         "image_features",
+                         "embedding_near_dups_lsh"}

@@ -75,3 +75,7 @@ def test_no_oracle_queries_run(spark):
     assert no_oracle <= {"segmentation_zonal", "point_in_segment",
                          "image_features",
                          "embedding_near_dups_lsh"}
+    # the cheap ones must actually run and produce rows (the raster
+    # queries are exercised by the pipeline tests)
+    for name in ["image_features", "embedding_near_dups_lsh"]:
+        assert qs[name](spark, SF_DIR).count() > 0, name

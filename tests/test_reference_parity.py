@@ -466,3 +466,68 @@ def test_spatial_udfs_match_reference_userfuncs(refstats, spark):
         ts.userFuncNumEdgePixels(pts, -1, ia2, fl, True)
         e = got_e[got_e.seg_id == segid].iloc[0]
         assert int(e.num_edge_pixels) == int(ia2[0]), segid
+
+
+def test_stitch_matches_reference_sequential_3x3(refseg, spark):
+    """Same sequential-vs-CC stitch parity on a 3x3 grid with an
+    edge-grown last row/col (352 px, tile 128, overlap 32): interior
+    tiles join two predecessors and correspondence chains span
+    multiple hops."""
+    import pandas as pd
+    import pyshepseg.tiling as reftiling
+    from pyshepseg_spark.operators.segment import (SegConfig,
+                                                   assemble_image,
+                                                   segment_images_tiled)
+    from pyshepseg_spark.sources.imagegen import generate_image
+
+    size = 352
+    row, _ = generate_image(9, size=size)
+    pdf = pd.DataFrame([row])
+    pdf["num_clusters"] = int(row["caption"].split(": ")[1].split()[0])
+    images = spark.createDataFrame(pdf)
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=128, overlap=32)
+    final, seg_tiles, _ = segment_images_tiled(images, cfg)
+    stp = seg_tiles.toPandas()
+    fpdf = final.toPandas()
+    Mgr = reftiling.SegmentationConcurrencyMgr
+    overlap, margin = cfg.overlap, cfg.overlap // 2
+
+    tiles = stp
+    ntc, ntr = int(tiles.ntcols.iloc[0]), int(tiles.ntrows.iloc[0])
+    assert ntc == ntr == 3
+    mosaic = np.zeros((size, size), dtype=np.uint32)
+    cache = {}
+    maxSegId = 0
+    for trow in range(ntr):
+        for tcol in range(ntc):
+            r = tiles[(tiles.tcol == tcol)
+                      & (tiles.trow == trow)].iloc[0]
+            tileData = np.frombuffer(r.segtile, dtype="<u4").reshape(
+                r.ysize, r.xsize).copy()
+            top = margin if trow > 0 else 0
+            bottom = r.ysize - margin if trow < ntr - 1 else r.ysize
+            left = margin if tcol > 0 else 0
+            right = r.xsize - margin if tcol < ntc - 1 else r.xsize
+            rd = {}
+            if trow > 0:
+                Mgr.recodeSharedSegments(
+                    tileData, tileData[:overlap, :],
+                    cache[(tcol, trow - 1, "bottom")],
+                    reftiling.HORIZONTAL, rd)
+            if tcol > 0:
+                Mgr.recodeSharedSegments(
+                    tileData, tileData[:, :overlap],
+                    cache[(tcol - 1, trow, "right")],
+                    reftiling.VERTICAL, rd)
+            newTile, _ = Mgr.relabelSegments(
+                tileData, rd, maxSegId, top, bottom, left, right)
+            trimmed = newTile[top:bottom, left:right]
+            mosaic[r.ypos + top:r.ypos + bottom,
+                   r.xpos + left:r.xpos + right] = trimmed
+            cache[(tcol, trow, "right")] = newTile[:, -overlap:]
+            cache[(tcol, trow, "bottom")] = newTile[-overlap:, :]
+            maxSegId = max(maxSegId, int(trimmed.max()))
+    got = assemble_image(fpdf, size, size)
+    frac = (got == mosaic.astype(np.int64)).mean()
+    assert frac == 1.0, f"3x3 mosaics differ on {1-frac:.4%} px"

@@ -209,3 +209,37 @@ def test_simple_recode_mode(spark, images_fixture, cfg):
         n_local = seg_tiles[seg_tiles.image_id == iid].nseg.sum()
         # ids are a subset of 1..sum(nseg) (margin-only ids trimmed)
         assert max(ids) <= n_local and min(ids) >= 1
+
+
+def test_distributed_cc_equals_driver_union_find(spark):
+    """The label-propagation fixpoint (_cc_distributed — the >2M-edge
+    scale path) must produce the same components/roots as the driver
+    union-find on the same edge list, including chains, cycles and
+    multi-image keys."""
+    import pandas as pd
+    from pyshepseg_spark.operators.segment import (_cc_distributed,
+                                                   connected_components)
+    rng = np.random.default_rng(17)
+    edges = []
+    # long chain, a cycle, star, and random edges across two images
+    for img in ["a", "b"]:
+        edges += [(img, i, i + 1) for i in range(1, 30)]       # chain
+        edges += [(img, 100, 101), (img, 101, 102),
+                  (img, 102, 100)]                             # cycle
+        edges += [(img, 200, 200 + j) for j in range(1, 6)]    # star
+        for _ in range(40):
+            a, b = rng.integers(300, 400, 2)
+            if a != b:
+                edges.append((img, int(a), int(b)))
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["image_id", "a", "b"]))
+    drv = connected_components(df).toPandas() \
+        .sort_values(["image_id", "v"], ignore_index=True)
+    dist = _cc_distributed(df).toPandas() \
+        .sort_values(["image_id", "v"], ignore_index=True)
+    assert len(drv) == len(dist)
+    for c in ["image_id", "v", "root"]:
+        assert (drv[c].to_numpy() == dist[c].to_numpy()).all(), c
+    # roots are component minima
+    g = drv.groupby(["image_id", "root"]).v.min()
+    assert (g.values == [k[1] for k in g.index]).all()

@@ -62,14 +62,27 @@ def clump_slow(img, ignore_val, four_connected=True, clump_id=MINSEGID,
     neighbours have been added (the seed does not count).
     """
     ysize, xsize = img.shape
-    # flat Python lists: ~10x faster than numpy scalar indexing in the
-    # per-pixel DFS (no numba in this container)
-    flat = img.ravel().tolist()
-    out = [0] * (ysize * xsize)
+    # 1-px ignore_val border removes all bounds checks from the DFS:
+    # out-of-image neighbours hit border cells that can never match
+    # val — identical outcome to the reference's clamped window, and
+    # the neighbour VISIT ORDER (x-outer / y-inner over the window)
+    # is preserved by the fixed delta sequence below. Flat Python
+    # lists beat numpy scalar indexing ~10x here (no numba).
+    w = xsize + 2
     ig = int(ignore_val)
-    for y in range(ysize):
-        base = y * xsize
-        for x in range(xsize):
+    padded = np.full((ysize + 2, xsize + 2), ig, dtype=np.int64)
+    padded[1:-1, 1:-1] = img
+    flat = padded.ravel().tolist()
+    out = [0] * ((ysize + 2) * w)
+    if four_connected:
+        # cx=x-1(cy=y), cx=x(cy=y-1, y+1), cx=x+1(cy=y)
+        deltas = (-1, -w, w, 1)
+    else:
+        # cx x-1..x+1 outer, cy y-1..y+1 inner (self skipped)
+        deltas = (-1 - w, -1, -1 + w, -w, w, 1 - w, 1, 1 + w)
+    for y in range(1, ysize + 1):
+        base = y * w
+        for x in range(1, xsize + 1):
             p = base + x
             if flat[p] != ig and out[p] == 0:
                 val = flat[p]
@@ -78,23 +91,17 @@ def clump_slow(img, ignore_val, four_connected=True, clump_id=MINSEGID,
                 out[p] = clump_id
                 while stack and clump_size < max_clump_size:
                     sp = stack.pop()
-                    sy, sx = divmod(sp, xsize)
-                    tlx = sx - 1 if sx > 0 else 0
-                    tly = sy - 1 if sy > 0 else 0
-                    brx = sx + 1 if sx < xsize - 1 else xsize - 1
-                    bry = sy + 1 if sy < ysize - 1 else ysize - 1
-                    for cx in range(tlx, brx + 1):
-                        for cy in range(tly, bry + 1):
-                            if four_connected and cy != sy and cx != sx:
-                                continue
-                            q = cy * xsize + cx
-                            # val != ignore_val, so == val implies valid
-                            if out[q] == 0 and flat[q] == val:
-                                out[q] = clump_id
-                                clump_size += 1
-                                stack.append(q)
+                    for d in deltas:
+                        q = sp + d
+                        # val != ignore_val, so == val implies valid
+                        if out[q] == 0 and flat[q] == val:
+                            out[q] = clump_id
+                            clump_size += 1
+                            stack.append(q)
                 clump_id += 1
-    output = np.asarray(out, dtype=SegIdType).reshape(ysize, xsize)
+    output = np.asarray(out, dtype=SegIdType).reshape(
+        ysize + 2, w)[1:-1, 1:-1]
+    output = np.ascontiguousarray(output)
     return output, clump_id
 
 

@@ -606,14 +606,67 @@ def _q_point_in_segment(spark, sf):
 
 
 def _q_image_features(spark, sf):
-    # multimodal plumbing (rows-only: DuckDB cannot decode the image
-    # codec): per-image per-band stats via mapInPandas over the
-    # binary column, deterministic synthetic images
+    # multimodal decode + per-(image, band) stats via mapInPandas
+    # over the binary column, deterministic synthetic images. The
+    # oracle (below) replays the seeded generator recipe WITHOUT the
+    # codec, so the PNG decode path is value-checked end to end.
     from pyshepseg_spark.operators.multimodal import image_features
     from pyshepseg_spark.sources.imagegen import generate_images_pdf
     pdf = generate_images_pdf(8, size=128, seed=42)
     return image_features(spark.createDataFrame(pdf),
                           img_null_val=65535)
+
+
+def _image_features_oracle(n=8, size=128, seed=42,
+                           null_val=65535) -> str:
+    """DuckDB VALUES-literal oracle for image_features: regenerates
+    the fixture pixels from the imagegen building blocks (seeded
+    Voronoi paint — same RNG call order as generate_image) but never
+    touches the byte codec, so the Spark side's encode->decode round
+    trip is independently value-checked. Doubles are emitted at full
+    repr precision (exact IEEE754 round trip in DuckDB)."""
+    import numpy as np
+
+    from pyshepseg_spark.sources.imagegen import (NULL_MARGIN,
+                                                  make_pallete,
+                                                  paint_image,
+                                                  voronoi_truth)
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        w = h = size
+        k = int(rng.integers(12, 25))
+        margin = NULL_MARGIN + 2
+        centres = np.stack([
+            rng.uniform(margin, w - margin, size=k),
+            rng.uniform(margin, h - margin, size=k)], axis=1)
+        truth = voronoi_truth(w, h, centres)
+        img = paint_image(truth, make_pallete(k, rng))
+        valid = (img != null_val).all(axis=0)
+        vx = img.astype(np.float64)[:, valid]
+        frac = float(valid.mean())
+        # exponent notation forces DuckDB to parse the literal as
+        # DOUBLE (plain decimals become DECIMAL -> double rounding)
+        def dbl(x):
+            return format(float(x), ".17e")
+
+        for b in range(img.shape[0]):
+            rows.append(
+                f"('img_{i:06d}', {b}, {w}, {h}, {img.shape[0]}, "
+                f"{dbl(vx[b].mean())}, {dbl(vx[b].std())}, "
+                f"{dbl(frac)})")
+    vals = ",\n               ".join(rows)
+    return f"""
+        SELECT image_id, CAST(band AS INTEGER) AS band,
+               CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+               CAST(nbands AS INTEGER) AS nbands,
+               CAST(band_mean AS DOUBLE) AS band_mean,
+               CAST(band_std AS DOUBLE) AS band_std,
+               CAST(nonnull_frac AS DOUBLE) AS nonnull_frac
+        FROM (VALUES {vals})
+             AS t(image_id, band, w, h, nbands, band_mean, band_std,
+                  nonnull_frac)
+    """
 
 
 def _q_embedding_near_dups_lsh(spark, sf):
@@ -1275,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS value_sum
             FROM sess GROUP BY user_id, session_seq
         """,
+        "image_features": _image_features_oracle(),
     }
 
 

@@ -17,14 +17,16 @@ import pandas as pd
 from ..sources.codec import decode_image, encode_image
 
 IMAGE_FEATURES_SCHEMA = (
-    "image_id string, w int, h int, nbands int, "
-    "band_means array<double>, band_stds array<double>, "
-    "nonnull_frac double")
+    "image_id string, band int, w int, h int, nbands int, "
+    "band_mean double, band_std double, nonnull_frac double")
 
 
 def image_features(images_df, img_null_val: int | None = None):
-    """Decode + per-band feature extraction (means/stds/null
-    fraction). Real decode; one Arrow batch per partition."""
+    """Decode + per-band feature extraction: one row per
+    (image, band) with scalar mean/population-std over non-null
+    pixels plus the image's non-null fraction. Long format keeps
+    every output column scalar (joinable, hashable, SQL-comparable).
+    Real decode; one Arrow batch per partition."""
 
     def kernel(batches):
         for pdf in batches:
@@ -37,18 +39,21 @@ def image_features(images_df, img_null_val: int | None = None):
                 else:
                     valid = np.ones(img.shape[1:], dtype=bool)
                 vx = x[:, valid]
-                out.append({
-                    "image_id": row.image_id,
-                    "w": row.w, "h": row.h, "nbands": img.shape[0],
-                    "band_means": vx.mean(axis=1).tolist()
-                    if vx.size else [],
-                    "band_stds": vx.std(axis=1).tolist()
-                    if vx.size else [],
-                    "nonnull_frac": float(valid.mean()),
-                })
+                frac = float(valid.mean())
+                for b in range(img.shape[0]):
+                    out.append({
+                        "image_id": row.image_id, "band": b,
+                        "w": row.w, "h": row.h,
+                        "nbands": img.shape[0],
+                        "band_mean": float(vx[b].mean())
+                        if vx.size else None,
+                        "band_std": float(vx[b].std())
+                        if vx.size else None,
+                        "nonnull_frac": frac,
+                    })
             yield pd.DataFrame(out, columns=[
-                "image_id", "w", "h", "nbands", "band_means",
-                "band_stds", "nonnull_frac"])
+                "image_id", "band", "w", "h", "nbands", "band_mean",
+                "band_std", "nonnull_frac"])
 
     return images_df.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)

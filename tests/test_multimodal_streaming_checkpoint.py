@@ -17,14 +17,14 @@ from pyshepseg_spark.sources.codec import decode_image
 def test_image_features(spark, images_fixture):
     pdf, _, images = images_fixture
     out = image_features(images, img_null_val=65535).toPandas()
-    assert len(out) == len(pdf)
     row = pdf.iloc[0]
     img = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+    assert len(out) == len(pdf) * img.shape[0]
     valid = (img != 65535).all(axis=0)
     expect = img[:, valid].mean(axis=1)
-    got = out[out.image_id == row["image_id"]].iloc[0]
-    assert np.allclose(got.band_means, expect)
-    assert 0.9 < got.nonnull_frac < 1.0
+    got = out[out.image_id == row["image_id"]].sort_values("band")
+    assert np.allclose(got.band_mean.to_numpy(), expect)
+    assert ((got.nonnull_frac > 0.9) & (got.nonnull_frac < 1.0)).all()
 
 
 def test_resize_images(spark, images_fixture):

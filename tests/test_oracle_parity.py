@@ -73,9 +73,8 @@ def test_no_oracle_queries_run(spark):
     # cannot replay the raster kernels); they are exercised by the
     # pipeline tests instead
     assert no_oracle <= {"segmentation_zonal", "point_in_segment",
-                         "image_features",
                          "embedding_near_dups_lsh"}
     # the cheap ones must actually run and produce rows (the raster
     # queries are exercised by the pipeline tests)
-    for name in ["image_features", "embedding_near_dups_lsh"]:
+    for name in ["embedding_near_dups_lsh"]:
         assert qs[name](spark, SF_DIR).count() > 0, name

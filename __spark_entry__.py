@@ -129,32 +129,33 @@ def _q_o4_mode_maxby(spark, sf):
 
 
 def _q_w1_dense_relabel(spark, sf):
-    # W1: contiguous relabel = dense_rank over surviving IDs
+    # W1: contiguous relabel = dense_rank over surviving IDs —
+    # two-phase prefix count (scalewin), never a global window
+    from pyshepseg_spark.operators.scalewin import ordered_row_number
     o = _t(spark, sf, "orders")
     used = o.select(F.col("o_custkey").alias("old_id")).distinct()
-    return used.withColumn(
-        "new_id", F.dense_rank().over(Window.orderBy("old_id")))
+    return ordered_row_number(used, ["old_id"], "new_id")
 
 
 def _q_w2_prefix_offsets(spark, sf):
-    # W2: global ID offsets = ordered prefix sum of per-tile counts
+    # W2: global ID offsets = ordered prefix sum of per-tile counts —
+    # two-phase (per-partition partials + broadcast offsets)
+    from pyshepseg_spark.operators.scalewin import ordered_prefix_sum
     o = _t(spark, sf, "orders")
     per = o.groupBy("o_custkey").agg(F.count("*").alias("nseg"))
-    w = Window.orderBy("o_custkey").rowsBetween(
-        Window.unboundedPreceding, -1)
-    return per.select(
-        F.col("o_custkey").alias("tile_id"), "nseg",
-        F.coalesce(F.sum("nseg").over(w), F.lit(0)).alias("offset"))
+    out = ordered_prefix_sum(per, ["o_custkey"], "nseg", "offset")
+    return out.select(F.col("o_custkey").alias("tile_id"), "nseg",
+                      "offset")
 
 
 def _q_w3_first_touch(spark, sf):
-    # W3: first-touch dense recode = row_number over min scan pos
+    # W3: first-touch dense recode = global row_number over min scan
+    # pos, two-phase (scalewin)
+    from pyshepseg_spark.operators.scalewin import ordered_row_number
     ev = _t(spark, sf, "events")
     firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    return firsts.withColumn(
-        "new_id", F.row_number().over(
-            Window.orderBy("first_ts", "user_id"))) \
-        .select("user_id", "new_id")
+    return ordered_row_number(firsts, ["first_ts", "user_id"],
+                              "new_id").select("user_id", "new_id")
 
 
 def _q_s10_empty_segments(spark, sf):
@@ -291,13 +292,14 @@ def _q_tpch_q3ish(spark, sf):
            .agg(F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 2)
                 .alias("revenue")))
-    w = Window.orderBy(F.col("revenue").desc(),
-                       F.col("o_orderkey").asc())
-    return (rev.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 10)
-            .select("o_orderkey",
-                    F.col("o_orderdate").cast("string")
-                    .alias("o_orderdate"), "revenue", "rk"))
+    # top-k via TakeOrderedAndProject (per-partition heaps), never a
+    # global rank window over the full aggregate
+    from pyshepseg_spark.operators.scalewin import bounded_topk
+    top = bounded_topk(rev, [F.col("revenue").desc(),
+                             F.col("o_orderkey").asc()], 10, "rk")
+    return top.select("o_orderkey",
+                      F.col("o_orderdate").cast("string")
+                      .alias("o_orderdate"), "revenue", "rk")
 
 
 def _q_dedup_exact(spark, sf):
@@ -427,11 +429,15 @@ def _px_grid(spark, sf):
     engines can build it identically): 16 segments of 16x16 px, val =
     trunc(l_quantity). Lets the U1-U3 spatial-stats UDF kernels be
     checked against pure-SQL oracles."""
+    from pyshepseg_spark.operators.scalewin import bounded_topk
     li = _t(spark, sf, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    base = li.select(
-        (F.row_number().over(w) - 1).alias("rid"),
-        F.floor("l_quantity").cast("long").alias("val"))
+    # first 4096 rows in key order: TakeOrderedAndProject + a rank
+    # window over the 4096-row result only (no global window)
+    base = bounded_topk(
+        li.select("l_orderkey", "l_linenumber",
+                  F.floor("l_quantity").cast("long").alias("val")),
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        4096, "rn").select((F.col("rn") - 1).alias("rid"), "val")
     px = (base.filter(F.col("rid") < 4096)
           .select(F.lit("img").alias("image_id"),
                   (F.col("rid") % 64).alias("x"),

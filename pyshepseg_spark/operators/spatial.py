@@ -52,45 +52,63 @@ def tile_for_point(xcol, ycol, tile_size, overlap, ntc, ntr):
     return tc.cast("int"), tr.cast("int")
 
 
-def point_in_segment(points, final_tiles, tile_size, overlap):
+def point_in_segment(points, final_tiles, tile_size, overlap,
+                     salt: int = 16):
     """Join each point (image_id, x, y, ...) to the segment covering
-    it. Steps: grid arithmetic -> equi-join on (image_id, tcol, trow)
-    -> per-tile vectorized probe. The join is bounded (each point
-    matches exactly one tile); per-image skew is handled by AQE."""
+    it. Steps: grid arithmetic -> salted COGROUP on (image_id, tcol,
+    trow, salt) -> vectorized raster probe.
+
+    Skew design: a per-tile group would serialize every probe that
+    lands on a hot tile into ONE task. Instead points carry a
+    content-derived salt and each tile raster is replicated across
+    the ``salt`` subkeys, so one tile's probes run in up to ``salt``
+    parallel tasks. Cogrouping (not joining) keeps the raster out of
+    the per-point rows: each task receives the tile bytes ONCE plus
+    its point batch — the shuffle is |points| + salt * |tiles|,
+    never |points| x |raster|."""
     grids = final_tiles.groupBy("image_id").agg(
         (F.max("tcol") + 1).alias("ntc"),
         (F.max("trow") + 1).alias("ntr"))
     p = points.join(F.broadcast(grids), "image_id")
     tc, tr = tile_for_point("x", "y", tile_size, overlap,
                             F.col("ntc"), F.col("ntr"))
-    p = p.withColumn("tcol", tc).withColumn("trow", tr)
-    t = final_tiles.select("image_id", "tcol", "trow", "xout", "yout",
-                           "out_xsize", "out_ysize", "segdata")
-    j = p.join(t, ["image_id", "tcol", "trow"])
+    p = (p.withColumn("tcol", tc).withColumn("trow", tr)
+         .withColumn("salt", F.pmod(F.xxhash64("point_id"),
+                                    F.lit(salt)).cast("int"))
+         .select("image_id", "tcol", "trow", "salt", "point_id",
+                 "x", "y"))
+    t = (final_tiles.select("image_id", "tcol", "trow", "xout",
+                            "yout", "out_xsize", "out_ysize",
+                            "segdata")
+         .withColumn("salt", F.explode(F.sequence(
+             F.lit(0).cast("int"), F.lit(salt - 1).cast("int")))))
 
     out_schema = ("image_id string, point_id long, x double, "
                   "y double, seg_id long")
+    empty = pd.DataFrame(columns=["image_id", "point_id", "x", "y",
+                                  "seg_id"])
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(columns=["image_id", "point_id", "x",
-                                         "y", "seg_id"])
-        first = pdf.iloc[0]
+    def kernel(pts: pd.DataFrame, tiles: pd.DataFrame) -> pd.DataFrame:
+        if len(pts) == 0 or len(tiles) == 0:
+            return empty
+        first = tiles.iloc[0]
         seg = np.frombuffer(first["segdata"], dtype="<i8").reshape(
             first["out_ysize"], first["out_xsize"])
-        xs = pdf["x"].to_numpy(np.float64)
-        ys = pdf["y"].to_numpy(np.float64)
+        xs = pts["x"].to_numpy(np.float64)
+        ys = pts["y"].to_numpy(np.float64)
         ix = np.clip(xs.astype(np.int64) - int(first["xout"]), 0,
                      seg.shape[1] - 1)
         iy = np.clip(ys.astype(np.int64) - int(first["yout"]), 0,
                      seg.shape[0] - 1)
         return pd.DataFrame({
-            "image_id": pdf["image_id"],
-            "point_id": pdf["point_id"],
+            "image_id": pts["image_id"],
+            "point_id": pts["point_id"],
             "x": xs, "y": ys,
             "seg_id": seg[iy, ix]})
 
-    return (j.groupBy("image_id", "tcol", "trow")
+    keys = ["image_id", "tcol", "trow", "salt"]
+    return (p.groupBy(*keys)
+            .cogroup(t.groupBy(*keys))
             .applyInPandas(kernel, out_schema))
 
 

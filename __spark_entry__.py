@@ -463,6 +463,31 @@ _PX_CTE = """
         )"""
 
 
+def _q_a4_nodata_count(spark, sf):
+    # A4: per-segment nodata counted APART from the value histogram
+    # (tilingstats.py:640-653) — exercises the REAL tile kernel
+    # (binary segdata/pixels) on the SQL-predictable px-grid fixture;
+    # val 30 plays the image null value
+    import numpy as np
+    import pandas as pd
+    from pyshepseg_spark.operators.zonal import (segment_nodata_counts,
+                                                 tile_value_histogram)
+    px = _px_grid(spark, sf).toPandas()
+    seg = np.zeros((64, 64), dtype="<i8")
+    pix = np.zeros((64, 64), dtype="<u2")
+    seg[px["y"].to_numpy(), px["x"].to_numpy()] = px["seg_id"].to_numpy()
+    pix[px["y"].to_numpy(), px["x"].to_numpy()] = px["val"].to_numpy()
+    tile = pd.DataFrame([{
+        "image_id": "img", "nbands": 1, "out_xsize": 64,
+        "out_ysize": 64, "pixels": pix.tobytes(),
+        "segdata": seg.tobytes()}])
+    hist_all = tile_value_histogram(spark.createDataFrame(tile),
+                                    img_null_val=None)
+    return segment_nodata_counts(hist_all, img_null_val=30) \
+        .select("image_id", "seg_id", "band", "nodata_cnt",
+                "valid_cnt")
+
+
 def _q_u2_mean_coords(spark, sf):
     from pyshepseg_spark.operators.spatialstats import mean_coords
     px = _px_grid(spark, sf)
@@ -802,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_min_by_nearest": _q_o3_min_by_nearest,
         "f2_affine": _q_f2_affine,
         "a7_global_stats": _q_a7_global_stats,
+        "a4_nodata_count": _q_a4_nodata_count,
         "tpch_q1": _q_tpch_q1,
         "tpch_q5ish": _q_tpch_q5ish,
         "tpch_q6ish": _q_tpch_q6ish,
@@ -1116,6 +1142,15 @@ def oracle_sql() -> dict[str, str]:
                        + (((c_custkey * 59) % 64) // 16) * 4 + 1
                        AS seg_id
             FROM customer
+        """,
+        "a4_nodata_count": f"""
+            WITH {_PX_CTE}
+            SELECT 'img' AS image_id, seg_id, CAST(0 AS INT) AS band,
+                   CAST(SUM(CASE WHEN val = 30 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nodata_cnt,
+                   CAST(SUM(CASE WHEN val <> 30 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS valid_cnt
+            FROM px GROUP BY seg_id
         """,
         "u2_mean_coords": f"""
             WITH {_PX_CTE}

@@ -104,10 +104,34 @@ def stats_histogram_from_stitch(seg_tiles_off, mapping, overlap: int,
             .agg(F.sum("cnt").alias("cnt")))
 
 
-def segment_stats_tiled(images_df, cfg, percentiles=(50,)):
+def segment_nodata_counts(hist_all, img_null_val: int):
+    """A4 (tilingstats.py:640-653, accumulation :502-507): per-
+    segment nodata pixels counted APART from the value stats. Input
+    is a FULL value histogram (built with ``img_null_val=None`` so
+    nodata values survive as ordinary bins); output has one row per
+    (image_id, seg_id, band) with nodata_cnt (0 when none) and
+    valid_cnt — all-nodata segments appear with valid_cnt 0, matching
+    the reference's empty-histogram/missingStatsValue case
+    (tilingstats.py:943-950). One JVM aggregation, no extra pass over
+    pixels."""
+    isnull = F.col("val") == F.lit(img_null_val)
+    return hist_all.groupBy("image_id", "seg_id", "band").agg(
+        F.sum(F.when(isnull, F.col("cnt")).otherwise(F.lit(0)))
+        .alias("nodata_cnt"),
+        F.sum(F.when(~isnull, F.col("cnt")).otherwise(F.lit(0)))
+        .alias("valid_cnt"))
+
+
+def segment_stats_tiled(images_df, cfg, percentiles=(50,),
+                        with_nodata=False):
     """images -> per-segment exact stats WITHOUT materializing the
     painted mosaic (the stats-only consumption path, one Arrow pass
-    over the tiles after the stitch mapping)."""
+    over the tiles after the stitch mapping).
+
+    with_nodata=True builds the FULL histogram (nodata bins kept),
+    derives the stats from the filtered bins and joins the A4
+    nodata/valid counts on — same single pixel pass, one extra
+    column-narrow aggregation."""
     from .segment import (build_mapping, connected_components,
                           correspondence_edges, explode_and_segment,
                           extract_strips, with_offsets)
@@ -116,9 +140,19 @@ def segment_stats_tiled(images_df, cfg, percentiles=(50,)):
         .localCheckpoint()
     edges = correspondence_edges(extract_strips(st, cfg.overlap))
     mapping = build_mapping(st, connected_components(edges))
-    hist = stats_histogram_from_stitch(st, mapping, cfg.overlap,
-                                       img_null_val=cfg.img_null_val)
-    return segment_stats(hist, percentiles=percentiles)
+    if not with_nodata or cfg.img_null_val is None:
+        hist = stats_histogram_from_stitch(
+            st, mapping, cfg.overlap, img_null_val=cfg.img_null_val)
+        return segment_stats(hist, percentiles=percentiles)
+    # two consumers (stats + nodata counts): persist the compact
+    # histogram so the pixel-pass kernel runs exactly once
+    hist_all = stats_histogram_from_stitch(st, mapping, cfg.overlap,
+                                           img_null_val=None).persist()
+    stats = segment_stats(
+        hist_all.filter(F.col("val") != cfg.img_null_val),
+        percentiles=percentiles)
+    nodata = segment_nodata_counts(hist_all, cfg.img_null_val)
+    return nodata.join(stats, ["image_id", "seg_id", "band"], "left")
 
 
 def tile_value_histogram(final_tiles, img_null_val: int | None = None):

@@ -188,6 +188,31 @@ def test_stats_from_stitch_equals_paint_then_histogram(
             assert (a == b).all(), c
 
 
+def test_stats_tiled_with_nodata_counts(spark, images_fixture, cfg):
+    """A4 wired through the tiled stats path: with_nodata=True adds
+    nodata_cnt/valid_cnt without changing any stat value, and the
+    fixture's null margin contributes zero (null pixels are seg 0)."""
+    from pyshepseg_spark.operators.zonal import segment_stats_tiled
+    _, _, images = images_fixture
+    got = segment_stats_tiled(images, cfg, percentiles=(50,),
+                              with_nodata=True).toPandas()
+    plain = segment_stats_tiled(images, cfg, percentiles=(50,)) \
+        .toPandas()
+    key = ["image_id", "seg_id", "band"]
+    g = got.sort_values(key, ignore_index=True)
+    p = plain.sort_values(key, ignore_index=True)
+    assert len(g) == len(p)
+    assert (g["nodata_cnt"] == 0).all()  # nulls live outside segments
+    assert (g["valid_cnt"].to_numpy()
+            == p["pix_count"].to_numpy()).all()
+    for c in p.columns:
+        a, b = g[c].to_numpy(), p[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, equal_nan=True), c
+        else:
+            assert (a == b).all(), c
+
+
 def test_simple_recode_mode(spark, images_fixture, cfg):
     """simpleTileRecode analogue (tiling.py:1024-1030): tile-local
     IDs offset to global uniqueness, NO cross-tile merging — every

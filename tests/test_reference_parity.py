@@ -206,6 +206,8 @@ def test_zonal_stats_match_reference_accumulator(refstats, spark):
     img = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
     band = img[0].astype(np.int64)
     seg = truth.astype(np.uint32)  # voronoi truth as the seg raster
+    # plant nodata INSIDE segments so the A4 counter has work to do
+    band[40:52, 10:70] = 65535
 
     # reference accumulation (one tile = whole image)
     ts = refstats
@@ -245,6 +247,23 @@ def test_zonal_stats_match_reference_accumulator(refstats, spark):
     assert np.allclose(got["mean_val"], ref_df["mean_val"], rtol=1e-5)
     assert np.allclose(got["stddev_val"], ref_df["stddev_val"],
                        rtol=1e-4, atol=1e-4)
+
+    # A4: engine nodata counts == the reference's noDataDict, exactly
+    from pyshepseg_spark.operators.zonal import segment_nodata_counts
+    assert len(noDataDict) > 0  # the planted block hit >= 1 segment
+    sv = seg.ravel() > 0
+    full_pdf = (pd.DataFrame({
+        "image_id": "img", "seg_id": seg.ravel()[sv].astype("int64"),
+        "band": 0, "val": band.ravel()[sv], "cnt": 1})
+        .groupby(["image_id", "seg_id", "band", "val"], as_index=False)
+        .agg(cnt=("cnt", "sum")))
+    nd = segment_nodata_counts(
+        spark.createDataFrame(full_pdf), img_null_val=65535) \
+        .toPandas().set_index("seg_id")
+    ref_nd = {int(k): int(v) for k, v in noDataDict.items()}
+    for segid in segDict:
+        assert int(nd.loc[int(segid), "nodata_cnt"]) == \
+            ref_nd.get(int(segid), 0)
 
 
 def test_global_stats_match_reference_estimate(refseg, spark):

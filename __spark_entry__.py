@@ -417,10 +417,12 @@ def _q_minhash_near_dups(spark, sf):
 
 
 def _q_simhash_near_dups(spark, sf):
+    # guaranteed-recall config: blocks > max_hamming (pigeonhole),
+    # 4 blocks of 7 bits on the 28-bit oracle hash
     from pyshepseg_spark.operators.dedup import (simhash_md5,
                                                  simhash_near_dups)
     d = _t(spark, sf, "documents")
-    return simhash_near_dups(simhash_md5(d, k=3), max_hamming=10,
+    return simhash_near_dups(simhash_md5(d, k=3), max_hamming=3,
                              blocks=4, hash_bits=28)
 
 
@@ -1463,7 +1465,7 @@ def _simhash_oracle() -> str:
               ON l.j = r.j AND l.bkey = r.bkey AND l.doc_id < r.doc_id
         )
         SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(ha, hb)) <= 10
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
     """
 
 

@@ -172,17 +172,18 @@ def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
                          F.col("minhash").alias("sig_a"))
     right = banded.select(F.col(id_col).alias("b"), "band", "bucket",
                           F.col("minhash").alias("sig_b"))
-    pairs = (left.join(right, ["band", "bucket"])
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b", "sig_a", "sig_b").distinct())
-    # estimated Jaccard = fraction of matching signature positions
+    # estimated Jaccard = fraction of matching signature positions,
+    # computed BEFORE the dedup so the distinct shuffles only
+    # (a, b, est) — never the two full signatures per candidate pair
     match = F.aggregate(
         F.zip_with("sig_a", "sig_b",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v)
-    return pairs.select(
-        "a", "b",
-        (match / F.size("sig_a")).alias("est_jaccard"))
+    return (left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    (match / F.size("sig_a")).alias("est_jaccard"))
+            .distinct())
 
 
 def ngram_jaccard_pairs(docs, cand_pairs, text_col="text",
@@ -232,13 +233,30 @@ def simhash(docs, text_col="text", id_col="doc_id", k=3):
 
 
 def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
-                      blocks=4, hash_bits=64):
+                      blocks=4, hash_bits=64,
+                      allow_recall_loss=False):
     """Near-dup pairs by SimHash: block the hash_bits-wide hash into
-    ``blocks`` segments (pigeonhole: any pair within max_hamming <
-    blocks shares >= 1 exact block), equi-join per block, verify
-    Hamming distance with bit_count (JVM-side). Pass hash_bits=28
-    for the md5/oracle hash so block keys cover the varying bits
-    (blocks of zeros would degenerate to an all-pairs join)."""
+    ``blocks`` segments, equi-join per block, verify Hamming distance
+    with bit_count (JVM-side). Pass hash_bits=28 for the md5/oracle
+    hash so block keys cover the varying bits (blocks of zeros would
+    degenerate to an all-pairs join).
+
+    Recall guarantee (pigeonhole): a pair within ``max_hamming``
+    differs in at most ``max_hamming`` blocks, so it is found iff
+    ``blocks >= max_hamming + 1`` AND every bit is covered
+    (``hash_bits`` divisible by ``blocks``). Both are enforced;
+    ``allow_recall_loss=True`` opts into cheaper best-effort blocking
+    (wider keys, fewer candidates, recall < 1 for pairs whose
+    differing bits spread across every block)."""
+    if hash_bits % blocks != 0:
+        raise ValueError(
+            f"hash_bits={hash_bits} not divisible by blocks={blocks}:"
+            " uncovered bits break the pigeonhole guarantee")
+    if not allow_recall_loss and blocks < max_hamming + 1:
+        raise ValueError(
+            f"recall guarantee needs blocks >= max_hamming + 1 "
+            f"(got blocks={blocks}, max_hamming={max_hamming}); pass "
+            "allow_recall_loss=True for best-effort blocking")
     width = hash_bits // blocks
     mask = (1 << width) - 1
     exploded = sim.select(
@@ -251,13 +269,14 @@ def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
                         F.col("simhash").alias("h_a"))
     b = exploded.select(F.col(id_col).alias("b"), "block", "key",
                         F.col("simhash").alias("h_b"))
-    pairs = (a.join(b, ["block", "key"])
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b", "h_a", "h_b").distinct())
+    # verify + threshold BEFORE the dedup: the distinct shuffles
+    # only surviving (a, b, hamming) rows, not raw candidates
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (pairs.withColumn("hamming", ham)
+    return (a.join(b, ["block", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+            .distinct())
 
 
 def duplicate_groups(pairs, a_col="a", b_col="b"):

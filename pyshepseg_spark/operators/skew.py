@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 
 def with_salt(df, num_salts: int, cols=("image_id",)):
     """Add a deterministic salt column derived from row content (so
-    re-runs are stable): salt = xxhash64(all cols) % S."""
-    h = F.xxhash64(*[F.col(c) for c in df.columns
-                     if c in df.columns][:4])
+    re-runs are stable): salt = xxhash64(exactly ``cols``) % S."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"with_salt: columns not in frame: {missing}")
+    h = F.xxhash64(*[F.col(c) for c in cols])
     return df.withColumn("salt",
                          F.pmod(h, F.lit(num_salts)).cast("int"))
 

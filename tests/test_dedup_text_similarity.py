@@ -73,10 +73,35 @@ def test_simhash_near_dups(spark):
     df = spark.createDataFrame(pd.DataFrame(
         {"doc_id": [1, 2, 3], "text": [base, near, far]}))
     s = simhash(df, k=3)
-    pairs = simhash_near_dups(s, max_hamming=8).toPandas()
+    # blocks >= max_hamming + 1 (and 64 % 16 == 0): guaranteed recall
+    pairs = simhash_near_dups(s, max_hamming=8, blocks=16).toPandas()
     keys = {(r.a, r.b) for r in pairs.itertuples()}
     assert (1, 2) in keys
     assert (1, 3) not in keys
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """A planted hamming-8 pair whose differing bits spread 2-per-
+    block across all four 7-bit blocks: best-effort 4-block blocking
+    silently misses it; the guaranteed config (blocks > max_hamming)
+    must find it; invalid configs are rejected up front."""
+    h1, h2 = 0, 0
+    for blk in range(4):
+        h2 |= 0b11 << (7 * blk)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "simhash": [h1, h2]}))
+    with pytest.raises(ValueError, match="recall guarantee"):
+        simhash_near_dups(df, max_hamming=8, blocks=4, hash_bits=28)
+    missed = simhash_near_dups(df, max_hamming=8, blocks=4,
+                               hash_bits=28,
+                               allow_recall_loss=True).toPandas()
+    assert len(missed) == 0  # why the old default under-delivered
+    found = simhash_near_dups(df, max_hamming=8, blocks=14,
+                              hash_bits=28).toPandas()
+    assert len(found) == 1 and found.iloc[0].hamming == 8
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_dups(df, max_hamming=8, blocks=9, hash_bits=28,
+                          allow_recall_loss=True)
 
 
 def test_embedding_near_dups(spark, emb):

@@ -1,8 +1,23 @@
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from pyshepseg_spark.operators.skew import (salted_broadcast_join,
-                                            salted_count)
+                                            salted_count, with_salt)
+
+
+def test_with_salt_hashes_requested_cols(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"a": [1, 2, 3, 4], "b": [9, 9, 9, 9], "c": list("wxyz")}))
+    sa = with_salt(df, 1000, cols=("a",)).toPandas()["salt"]
+    sb = with_salt(df, 1000, cols=("b",)).toPandas()["salt"]
+    sc = with_salt(df, 1000, cols=("a", "c")).toPandas()["salt"]
+    assert sb.nunique() == 1          # constant col -> constant salt
+    assert sa.nunique() > 1           # varying col -> varying salt
+    assert list(sa) != list(sc)       # col-set changes the salt
+    assert ((sa >= 0) & (sa < 1000)).all()
+    with pytest.raises(ValueError, match="not in frame"):
+        with_salt(df, 8, cols=("nope",))
 
 
 def test_salted_count_equals_plain(spark):

@@ -636,7 +636,8 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
 
 
 def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
-                         with_histogram: bool = False):
+                         with_histogram: bool = False,
+                         validate: bool = True):
     """Full pipeline: images -> final stitched seg tiles.
 
     Returns (final_tiles_df, seg_tiles_df, centres). seg_tiles_df is
@@ -644,7 +645,21 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
     metrics. By default each image gets its own deterministic k-means
     fit; pass a shared (k, nbands) matrix for the giant-single-raster
     mode.
+
+    validate=True runs the planner-side guards first: P5 integer-
+    imagery check, and S4 nodata discovery from table metadata when
+    cfg.img_null_val is unset (a wrong/missing null value silently
+    corrupts every downstream stat).
     """
+    if validate:
+        import dataclasses
+
+        from .tiling import assert_integer_imagery, discover_img_null_val
+        assert_integer_imagery(images_df)
+        if cfg.img_null_val is None:
+            nv = discover_img_null_val(images_df)
+            if nv is not None:
+                cfg = dataclasses.replace(cfg, img_null_val=int(nv))
     if centres is None:
         # fully fused path: decode + fit + tile + segment in ONE
         # kernel pass (raw tiles never round-trip through Arrow)

@@ -34,6 +34,54 @@ TILE_SCHEMA = (
 
 TILE_SCHEMA_WITH_CENTRES = TILE_SCHEMA + ", centres binary"
 
+# formats the integer kernels can decode; anything else (float
+# rasters, unknown codecs) is refused planner-side (P5)
+SUPPORTED_FMTS = ("png", "raw_u16")
+
+
+def assert_integer_imagery(images_df, fmt_col="fmt"):
+    """P5 guard (ref tilingstats.py:450-452 refuses float imagery):
+    reject formats the uint16 kernels cannot represent BEFORE any
+    pixel job launches. One distinct aggregation over the (tiny,
+    dictionary-encoded) fmt column — metadata-scale, no pixel scan."""
+    from pyspark.sql import functions as F
+    fmts = [r[0] for r in
+            images_df.select(F.col(fmt_col)).distinct().collect()]
+    bad = sorted(f for f in fmts if f not in SUPPORTED_FMTS)
+    if bad:
+        raise ValueError(
+            f"unsupported image formats {bad}: the integer kernels "
+            f"require integer imagery ({sorted(SUPPORTED_FMTS)}) — "
+            "reference refuses float types (tilingstats.py:450-452)")
+
+
+def discover_img_null_val(images_df, col="band_null_vals"):
+    """S4 (ref tiling.py:229-256 getImgNullValue): discover the image
+    null value from per-band table metadata — the engine's analogue
+    of GDAL's per-band NoDataValue is an optional ``band_null_vals``
+    array<int> column. Returns the single agreed value (None when the
+    column is absent or no image declares one); raises when bands
+    disagree — within an image, across images, or declared-vs-
+    undeclared — exactly the reference's failure mode. One
+    metadata-scale aggregation (distinct over per-image distinct
+    sets), no pixel scan."""
+    from pyspark.sql import functions as F
+    if col not in images_df.columns:
+        return None
+    per_img = F.coalesce(F.array_distinct(F.col(col)),
+                         F.array(F.lit(None).cast("int")))
+    per_img = F.when(F.size(per_img) == 0,
+                     F.array(F.lit(None).cast("int"))).otherwise(per_img)
+    rows = (images_df.select(F.explode(per_img).alias("nv"))
+            .distinct().collect())
+    vals = sorted((r["nv"] for r in rows),
+                  key=lambda v: (v is None, v))
+    if len(vals) > 1:
+        raise ValueError(
+            f"Different null values in some bands/images: {vals} "
+            "(ref tiling.py:253 raises PyShepSegTilingError)")
+    return vals[0] if vals else None
+
 
 def tile_grid(w: int, h: int, tile_size: int, overlap: int):
     """List of (tcol, trow, xpos, ypos, xsize, ysize) covering an

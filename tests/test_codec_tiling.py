@@ -89,3 +89,72 @@ def test_catalog_parquet_fallback(spark, tmp_path):
     back = load_table(spark, loc)
     assert back.count() == 10
     assert sorted(r.v for r in back.collect()) == list(range(10))
+
+
+def test_integer_imagery_guard(spark):
+    """P5: unknown/float formats are refused planner-side
+    (ref tilingstats.py:450-452); supported formats pass."""
+    import pandas as pd
+    import pytest
+    from pyshepseg_spark.operators.tiling import assert_integer_imagery
+    ok = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["a", "b"], "fmt": ["png", "raw_u16"]}))
+    assert_integer_imagery(ok)  # no raise
+    bad = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["a", "b"], "fmt": ["png", "raw_f32"]}))
+    with pytest.raises(ValueError, match="raw_f32"):
+        assert_integer_imagery(bad)
+
+
+def test_nodata_discovery(spark):
+    """S4 (ref tiling.py:229-256): single agreed value discovered;
+    bands-disagree, images-disagree and declared-vs-undeclared all
+    raise; absent column -> None."""
+    import pandas as pd
+    import pytest
+    from pyshepseg_spark.operators.tiling import discover_img_null_val
+
+    def df(nvs):
+        return spark.createDataFrame(pd.DataFrame(
+            {"image_id": [f"i{k}" for k in range(len(nvs))],
+             "band_null_vals": nvs}))
+
+    assert discover_img_null_val(
+        df([[65535, 65535, 65535], [65535, 65535, 65535]])) == 65535
+    assert discover_img_null_val(
+        spark.createDataFrame(pd.DataFrame({"image_id": ["a"]}))) is None
+    with pytest.raises(ValueError, match="Different null values"):
+        discover_img_null_val(df([[65535, 0, 65535]]))  # bands differ
+    with pytest.raises(ValueError, match="Different null values"):
+        discover_img_null_val(df([[65535] * 3, [0] * 3]))  # images
+    with pytest.raises(ValueError, match="Different null values"):
+        discover_img_null_val(df([[65535] * 3, []]))  # vs undeclared
+
+
+def test_segment_pipeline_discovers_null_val(spark):
+    """segment_images_tiled with img_null_val unset picks the value
+    up from band_null_vals metadata: result equals the explicit
+    config bitwise."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyshepseg_spark.operators.segment import (SegConfig,
+                                                   segment_images_tiled)
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    pdf = generate_images_pdf(1, size=96, seed=42)
+    pdf["num_clusters"] = [int(c.split(": ")[1].split()[0])
+                           for c in pdf["caption"]]
+    images = spark.createDataFrame(pdf)
+    meta = images.withColumn(
+        "band_null_vals",
+        F.array(F.lit(65535), F.lit(65535), F.lit(65535)))
+    base = SegConfig(four_connected=False, min_segment_size=50,
+                     tile_size=64, overlap=16)
+    explicit = SegConfig(img_null_val=65535, four_connected=False,
+                         min_segment_size=50, tile_size=64, overlap=16)
+    got, _, _ = segment_images_tiled(meta, base)
+    want, _, _ = segment_images_tiled(images, explicit)
+    g = got.toPandas().sort_values(["tcol", "trow"], ignore_index=True)
+    w = want.toPandas().sort_values(["tcol", "trow"], ignore_index=True)
+    assert len(g) == len(w)
+    for i in range(len(g)):
+        assert g.iloc[i]["segdata"] == w.iloc[i]["segdata"]

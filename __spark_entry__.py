@@ -99,6 +99,29 @@ def _q_a5_stats_finalize(spark, sf):
         "mode_val", "median_val")
 
 
+def _q_a5_stats_named(spark, sf):
+    # named stats-selection surface (makeFastStatsSelection,
+    # tilingstats.py:798-863): caller-chosen column names + dtypes
+    from pyshepseg_spark.operators.zonal import segment_stats_selected
+    li = _t(spark, sf, "lineitem")
+    hist = (li.groupBy(F.lit("t").alias("image_id"),
+                       F.col("l_suppkey").alias("seg_id"),
+                       F.lit(0).alias("band"),
+                       F.col("l_quantity").cast("long").alias("val"))
+            .agg(F.count("*").alias("cnt")))
+    sel = [("B0_min", "min"), ("B0_LQ", "percentile", 25),
+           ("B0_Mean", "mean"), ("B0_stdDev", "stddev"),
+           ("B0_UQ", "percentile", 75), ("B0_mode", "mode"),
+           ("B0_median", "median"), ("npix", "pixcount"),
+           ("B0_max", "max")]
+    st = segment_stats_selected(hist, sel)
+    return st.select(
+        "seg_id", "B0_min", "B0_LQ",
+        F.round("B0_Mean", 4).alias("B0_Mean"),
+        F.round("B0_stdDev", 4).alias("B0_stdDev"),
+        "B0_UQ", "B0_mode", "B0_median", "npix", "B0_max")
+
+
 def _q_w4_percentile_exact(spark, sf):
     # W4: exact percentile by cumulative count (25/50/75)
     from pyshepseg_spark.operators.zonal import segment_stats
@@ -818,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_histogram": _q_a1_histogram,
         "a3_value_histogram": _q_a3_value_histogram,
         "a5_stats_finalize": _q_a5_stats_finalize,
+        "a5_stats_named": _q_a5_stats_named,
         "w4_percentile_exact": _q_w4_percentile_exact,
         "o4_mode_maxby": _q_o4_mode_maxby,
         "w1_dense_relabel": _q_w1_dense_relabel,
@@ -920,6 +944,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN sd USING (seg_id)
             JOIN mode_t USING (seg_id)
             JOIN med USING (seg_id)
+        """,
+        "a5_stats_named": """
+            WITH hist AS (
+                SELECT l_suppkey AS seg_id,
+                       CAST(trunc(l_quantity) AS BIGINT) AS val,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1, 2
+            ), cum AS (
+                SELECT seg_id, val, cnt,
+                       SUM(cnt) OVER (PARTITION BY seg_id
+                           ORDER BY val) AS cum,
+                       SUM(cnt) OVER (PARTITION BY seg_id) AS n
+                FROM hist
+            ), base AS (
+                SELECT seg_id, MIN(val) AS B0_min, MAX(val) AS B0_max,
+                       CAST(SUM(cnt) AS BIGINT) AS npix,
+                       ROUND(SUM(val * cnt) * 1.0 / SUM(cnt), 4)
+                           AS B0_Mean,
+                       ROUND(SQRT(greatest(
+                           SUM(val * val * cnt) * 1.0 / SUM(cnt)
+                           - POW(SUM(val * cnt) * 1.0 / SUM(cnt), 2),
+                           0)), 4) AS B0_stdDev,
+                       (SELECT MIN(val) FROM cum c WHERE
+                            c.seg_id = hist.seg_id
+                            AND c.cum >= c.n * 25.0 / 100) AS B0_LQ,
+                       (SELECT MIN(val) FROM cum c WHERE
+                            c.seg_id = hist.seg_id
+                            AND c.cum >= c.n * 50.0 / 100) AS B0_median,
+                       (SELECT MIN(val) FROM cum c WHERE
+                            c.seg_id = hist.seg_id
+                            AND c.cum >= c.n * 75.0 / 100) AS B0_UQ
+                FROM hist GROUP BY seg_id
+            ), mode_t AS (
+                SELECT seg_id, val AS B0_mode FROM (
+                    SELECT seg_id, val, ROW_NUMBER() OVER (
+                        PARTITION BY seg_id
+                        ORDER BY cnt DESC, val ASC) AS rn
+                    FROM hist) WHERE rn = 1
+            )
+            SELECT b.seg_id, b.B0_min, b.B0_LQ, b.B0_Mean,
+                   b.B0_stdDev, b.B0_UQ, m.B0_mode, b.B0_median,
+                   b.npix, b.B0_max
+            FROM base b JOIN mode_t m USING (seg_id)
         """,
         "w4_percentile_exact": """
             WITH hist AS (

@@ -368,6 +368,75 @@ def segment_stats(hist, percentiles=(50,)):
     return out
 
 
+_SELECTABLE_STATS = ("min", "max", "mean", "stddev", "median",
+                     "mode", "percentile", "pixcount")
+
+
+def segment_stats_selected(hist, selection):
+    """Named stats-selection surface — the contract a caller ported
+    from the reference uses (tilingstats.py:798-863
+    makeFastStatsSelection; selection format :106-131): each entry is
+    ``(columnName, statName)`` or ``(columnName, 'percentile', p)``,
+    statName one of min/max/mean/stddev/median/mode/percentile/
+    pixcount. Output columns take the caller's names and the
+    reference's dtypes (mean/stddev float columns -> double,
+    everything else int -> long). Same one-window + one-aggregation
+    plan as segment_stats; the cumulative window is only added when
+    the selection needs an order statistic."""
+    g = ["image_id", "seg_id", "band"]
+    for sel in selection:
+        if len(sel) not in (2, 3) or sel[1] not in _SELECTABLE_STATS:
+            raise ValueError(f"bad statsSelection entry {sel!r}: "
+                             f"statName must be one of "
+                             f"{_SELECTABLE_STATS}")
+        if sel[1] == "percentile" and (
+                len(sel) != 3 or not 0 <= sel[2] <= 100):
+            raise ValueError(f"percentile needs (name, 'percentile', "
+                             f"0..100), got {sel!r}")
+
+    need_cum = any(s[1] in ("median", "percentile") for s in selection)
+    h = hist
+    if need_cum:
+        w_cum = (Window.partitionBy(*g).orderBy("val")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        w_all = (Window.partitionBy(*g)
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+        h = (h.withColumn("cum", F.sum("cnt").over(w_cum))
+             .withColumn("n", F.sum("cnt").over(w_all)))
+
+    vc = F.col("val").cast("double") * F.col("cnt")
+    v2c = (F.col("val").cast("double") * F.col("val").cast("double")
+           * F.col("cnt"))
+    mean = F.sum(vc) / F.sum("cnt")
+
+    def pctl(p):
+        return F.min(F.when(
+            F.col("cum") >= F.col("n") * F.lit(p) / F.lit(100),
+            F.col("val")))
+
+    builders = {
+        "min": lambda: F.min("val").cast("long"),
+        "max": lambda: F.max("val").cast("long"),
+        "mean": lambda: mean,
+        "stddev": lambda: F.sqrt(F.greatest(
+            F.sum(v2c) / F.sum("cnt") - mean * mean, F.lit(0.0))),
+        "median": lambda: pctl(50).cast("long"),
+        "mode": lambda: F.max_by(
+            "val", F.struct(F.col("cnt"),
+                            (-F.col("val")).alias("nv"))).cast("long"),
+        "pixcount": lambda: F.sum("cnt").cast("long"),
+    }
+    aggs = []
+    for sel in selection:
+        name, stat = sel[0], sel[1]
+        if stat == "percentile":
+            aggs.append(pctl(sel[2]).cast("long").alias(name))
+        else:
+            aggs.append(builders[stat]().alias(name))
+    return h.groupBy(*g).agg(*aggs)
+
+
 def global_stats_from_histogram(seg_sizes):
     """A7 (utils.py:47-95): whole-raster stats of the segment-ID
     image derived from the segment-size histogram: one agg plus a

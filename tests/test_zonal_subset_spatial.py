@@ -254,3 +254,45 @@ def test_knn_segments_exact_grouped(spark):
     assert len(got) == len(want)
     assert (got["seg_id"].to_numpy() == want["seg_id"].to_numpy()).all()
     assert np.allclose(got["d2"], want["d2"])
+
+
+def test_segment_stats_selected_matches_segment_stats(spark):
+    """The named-selection surface and the fixed finalizers derive
+    from the same histogram: values must agree column for column,
+    with caller-chosen names and reference dtypes."""
+    import pandas as pd
+    import pytest
+    from pyshepseg_spark.operators.zonal import (segment_stats,
+                                                 segment_stats_selected)
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "image_id": "i", "seg_id": rng.integers(1, 9, 4000),
+        "band": 0, "val": rng.integers(0, 300, 4000)})
+    hist = (pdf.assign(cnt=1)
+            .groupby(["image_id", "seg_id", "band", "val"],
+                     as_index=False).agg(cnt=("cnt", "sum")))
+    h = spark.createDataFrame(hist)
+    sel = [("mn", "min"), ("q25", "percentile", 25),
+           ("avgv", "mean"), ("sd", "stddev"), ("md", "mode"),
+           ("med", "median"), ("n", "pixcount"), ("mx", "max")]
+    got = segment_stats_selected(h, sel).toPandas() \
+        .sort_values("seg_id", ignore_index=True)
+    want = segment_stats(h, percentiles=(25, 50)).toPandas() \
+        .sort_values("seg_id", ignore_index=True)
+    pairs = [("mn", "min_val"), ("q25", "p25_val"),
+             ("avgv", "mean_val"), ("sd", "stddev_val"),
+             ("md", "mode_val"), ("med", "median_val"),
+             ("n", "pix_count"), ("mx", "max_val")]
+    for a, b in pairs:
+        ga, wb = got[a].to_numpy(), want[b].to_numpy()
+        if ga.dtype.kind == "f":
+            assert np.allclose(ga, wb), (a, b)
+        else:
+            assert (ga == wb).all(), (a, b)
+    assert got["mn"].dtype.kind == "i" and got["avgv"].dtype.kind == "f"
+    with pytest.raises(ValueError, match="statName"):
+        segment_stats_selected(h, [("x", "variance")])
+    with pytest.raises(ValueError, match="percentile"):
+        segment_stats_selected(h, [("x", "percentile")])
+    with pytest.raises(ValueError, match="percentile"):
+        segment_stats_selected(h, [("x", "percentile", 101)])

@@ -418,7 +418,10 @@ def connected_components(edges, max_rounds=64,
     # second collect/count job)
     rows = edges.limit(driver_threshold + 1).collect()
     if len(rows) <= driver_threshold:
-        return _cc_driver(edges, rows)
+        # driver-sized by construction: hint downstream joins to
+        # broadcast the label table instead of sort-merge shuffling
+        # the (much larger) exploded gid frames against it
+        return F.broadcast(_cc_driver(edges, rows))
     return _cc_distributed(edges, max_rounds)
 
 
@@ -514,18 +517,23 @@ def build_mapping(seg_tiles_off, cc_labels):
     dense = (roots.select("image_id", "root").distinct()
              .withColumn("final", F.row_number().over(w)))
 
+    # the mapping keeps its tile key: consumers (paint / fused
+    # histogram) group straight by tile instead of re-exploding the
+    # gid ranges and joining back — two exchanges fewer per consumer
     allg = seg_tiles_off.select(
-        "image_id", "offset", "nseg").filter(F.col("nseg") > 0).select(
-        "image_id",
+        "image_id", "tcol", "trow", "offset", "nseg") \
+        .filter(F.col("nseg") > 0).select(
+        "image_id", "tcol", "trow",
         F.explode(F.sequence(F.col("offset") + 1,
                              F.col("offset") + F.col("nseg"))).alias("gid"))
     gl = (allg.join(cc_labels,
                     (allg.image_id == cc_labels.image_id)
                     & (allg.gid == cc_labels.v), "left")
-          .select(allg.image_id.alias("image_id"), "gid",
+          .select(allg.image_id.alias("image_id"), "tcol", "trow",
+                  "gid",
                   F.coalesce(F.col("root"), F.col("gid")).alias("root")))
     mapping = (gl.join(dense, ["image_id", "root"], "left")
-               .select("image_id", "gid",
+               .select("image_id", "tcol", "trow", "gid",
                        F.coalesce(F.col("final"),
                                   F.lit(0)).alias("final")))
     return mapping
@@ -560,12 +568,9 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
     pass)."""
     margin = overlap // 2
     keys = ["image_id", "tcol", "trow"]
-    tg = (seg_tiles_off.filter(F.col("nseg") > 0)
-          .select(*keys, F.explode(
-              F.sequence(F.col("offset") + 1,
-                         F.col("offset") + F.col("nseg"))).alias("gid")))
-    tm = (tg.join(mapping, ["image_id", "gid"])
-          .groupBy(*keys)
+    # the mapping already carries its tile key (build_mapping): one
+    # groupBy, no gid re-explode, no join back
+    tm = (mapping.groupBy(*keys)
           .agg(F.collect_list(F.struct("gid", "final")).alias("gf")))
     joined = seg_tiles_off.join(tm, keys, "left")
 
@@ -690,10 +695,11 @@ def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
     st = with_offsets(seg_tiles).localCheckpoint()
     if simple_recode:
         mapping = (st.filter(F.col("nseg") > 0)
-                   .select("image_id", F.explode(F.sequence(
-                       F.col("offset") + 1,
-                       F.col("offset") + F.col("nseg")))
-                       .alias("gid"))
+                   .select("image_id", "tcol", "trow",
+                           F.explode(F.sequence(
+                               F.col("offset") + 1,
+                               F.col("offset") + F.col("nseg")))
+                           .alias("gid"))
                    .withColumn("final", F.col("gid")))
     else:
         strips = extract_strips(st, cfg.overlap)

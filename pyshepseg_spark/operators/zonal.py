@@ -48,13 +48,9 @@ def stats_histogram_from_stitch(seg_tiles_off, mapping, overlap: int,
 
     margin = overlap // 2
     keys = ["image_id", "tcol", "trow"]
-    tg = (seg_tiles_off.filter(F.col("nseg") > 0)
-          .select(*keys, F.explode(
-              F.sequence(F.col("offset") + 1,
-                         F.col("offset") + F.col("nseg")))
-              .alias("gid")))
-    tm = (tg.join(mapping, ["image_id", "gid"])
-          .groupBy(*keys)
+    # build_mapping keeps the tile key on every mapping row: group
+    # straight by tile (no gid re-explode, no join back)
+    tm = (mapping.groupBy(*keys)
           .agg(F.collect_list(F.struct("gid", "final")).alias("gf")))
     joined = seg_tiles_off.join(tm, keys, "left")
 

@@ -81,6 +81,16 @@ def cmd_stats(args):
     print(f"wrote per-segment stats to {args.out}")
 
 
+def cmd_overviews(args):
+    spark = _session(args)
+    from .operators.tiling import overview_pyramid_tiles
+    final = spark.read.parquet(args.final)
+    out = overview_pyramid_tiles(final,
+                                 final_out_size=args.final_out_size)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote overview pyramid to {args.out}")
+
+
 def cmd_subset(args):
     spark = _session(args)
     from .operators.subset import subset_segmentation
@@ -139,6 +149,15 @@ def main(argv=None):
     st.add_argument("--null-val", type=int, default=None)
     _add_common(st)
     st.set_defaults(fn=cmd_stats)
+
+    ov = sub.add_parser("overviews",
+                        help="NEAREST overview pyramid of a stitched "
+                             "segmentation (S8)")
+    ov.add_argument("--final", required=True)
+    ov.add_argument("--out", required=True)
+    ov.add_argument("--final-out-size", type=int, default=1024)
+    _add_common(ov)
+    ov.set_defaults(fn=cmd_overviews)
 
     su = sub.add_parser("subset", help="bbox subset + dense recode")
     su.add_argument("--final", required=True)

@@ -83,6 +83,74 @@ def discover_img_null_val(images_df, col="band_null_vals"):
     return vals[0] if vals else None
 
 
+def overview_levels(w: int, h: int, final_out_size: int = 1024):
+    """Reference setupOverviews (tiling.py:1385-1404) level series,
+    replicated exactly — including its append-then-recheck control
+    flow, whose last level is the first one whose subsampled size
+    drops below ``final_out_size``."""
+    out_size = max(w, h)
+    levels = []
+    i = 2
+    ok = (out_size // (2 ** i)) >= final_out_size
+    while ok:
+        levels.append(2 ** i)
+        ok = (out_size // (2 ** i)) >= final_out_size
+        i += 1
+    return levels
+
+
+OVERVIEW_TILE_SCHEMA = (
+    "image_id string, level int, tcol int, trow int, xout int, "
+    "yout int, out_xsize int, out_ysize int, segdata binary")
+
+
+def overview_pyramid_tiles(final_tiles, final_out_size: int = 1024):
+    """S8 overview-pyramid sink (ref tiling.py:1360-1404): NEAREST
+    level series of the stitched segment mosaic, one output row per
+    (tile, level), computed tile-locally exactly like the reference's
+    writeOverviews — subsample ``seg[o::lvl, o::lvl]`` with
+    ``o = lvl // 2``, placed at ``(xout // lvl, yout // lvl)`` and
+    clipped to the ceil-divided overview raster. Embarrassingly
+    parallel; the only coordination is the tiny per-image (w, h)
+    broadcast. Nearest (not mean) because segment IDs are categorical."""
+    from pyspark.sql import functions as F
+    dims = final_tiles.groupBy("image_id").agg(
+        F.max(F.col("xout") + F.col("out_xsize")).alias("w"),
+        F.max(F.col("yout") + F.col("out_ysize")).alias("h"))
+    j = (final_tiles.select("image_id", "tcol", "trow", "xout",
+                            "yout", "out_xsize", "out_ysize",
+                            "segdata")
+         .join(F.broadcast(dims), "image_id"))
+    cols = ["image_id", "level", "tcol", "trow", "xout", "yout",
+            "out_xsize", "out_ysize", "segdata"]
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                seg = np.frombuffer(row.segdata, dtype="<i8").reshape(
+                    row.out_ysize, row.out_xsize)
+                for lvl in overview_levels(row.w, row.h,
+                                           final_out_size):
+                    o = lvl // 2
+                    ov_w = (row.w + lvl - 1) // lvl
+                    ov_h = (row.h + lvl - 1) // lvl
+                    xo, yo = row.xout // lvl, row.yout // lvl
+                    sub = seg[o::lvl, o::lvl][:ov_h - yo, :ov_w - xo]
+                    if sub.size == 0:
+                        continue
+                    out.append({
+                        "image_id": row.image_id, "level": lvl,
+                        "tcol": row.tcol, "trow": row.trow,
+                        "xout": xo, "yout": yo,
+                        "out_xsize": sub.shape[1],
+                        "out_ysize": sub.shape[0],
+                        "segdata": np.ascontiguousarray(sub).tobytes()})
+            yield pd.DataFrame(out, columns=cols)
+
+    return j.mapInPandas(kernel, OVERVIEW_TILE_SCHEMA)
+
+
 def tile_grid(w: int, h: int, tile_size: int, overlap: int):
     """List of (tcol, trow, xpos, ypos, xsize, ysize) covering an
     w x h raster, matching reference tiling.py:376-443 exactly."""

@@ -158,3 +158,53 @@ def test_segment_pipeline_discovers_null_val(spark):
     assert len(g) == len(w)
     for i in range(len(g)):
         assert g.iloc[i]["segdata"] == w.iloc[i]["segdata"]
+
+
+def test_overview_levels_reference_semantics():
+    from pyshepseg_spark.operators.tiling import overview_levels
+    # outSize 8192: levels run one past the >=1024 bound (the
+    # reference's append-then-recheck quirk)
+    assert overview_levels(8192, 8192) == [4, 8, 16]
+    assert overview_levels(256, 256) == []          # too small
+    assert overview_levels(256, 256, final_out_size=16) == \
+        [4, 8, 16, 32]
+
+
+def test_overview_pyramid_matches_whole_mosaic_subsample(spark):
+    """Tile-local overview emission reassembles to exactly the
+    whole-mosaic NEAREST subsample the reference writer produces."""
+    import pandas as pd
+    from pyshepseg_spark.operators.tiling import (overview_levels,
+                                                  overview_pyramid_tiles)
+    rng = np.random.default_rng(11)
+    W = H = 256
+    mosaic = rng.integers(1, 500, (H, W)).astype("<i8")
+    rows = []
+    for tr in range(2):
+        for tc in range(2):
+            sub = mosaic[tr * 128:(tr + 1) * 128,
+                         tc * 128:(tc + 1) * 128]
+            rows.append({"image_id": "img", "tcol": tc, "trow": tr,
+                         "xout": tc * 128, "yout": tr * 128,
+                         "out_xsize": 128, "out_ysize": 128,
+                         "segdata": np.ascontiguousarray(sub).tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    out = overview_pyramid_tiles(tiles, final_out_size=16).toPandas()
+    levels = overview_levels(W, H, 16)
+    assert sorted(out["level"].unique()) == levels
+    for lvl in levels:
+        o = lvl // 2
+        want = mosaic[o::lvl, o::lvl]
+        ov_w, ov_h = (W + lvl - 1) // lvl, (H + lvl - 1) // lvl
+        got = np.zeros((ov_h, ov_w), dtype="<i8")
+        filled = np.zeros((ov_h, ov_w), dtype=bool)
+        for r in out[out.level == lvl].itertuples(index=False):
+            a = np.frombuffer(r.segdata, dtype="<i8").reshape(
+                r.out_ysize, r.out_xsize)
+            got[r.yout:r.yout + r.out_ysize,
+                r.xout:r.xout + r.out_xsize] = a
+            filled[r.yout:r.yout + r.out_ysize,
+                   r.xout:r.xout + r.out_xsize] = True
+        assert filled[:want.shape[0], :want.shape[1]].all()
+        assert np.array_equal(got[:want.shape[0], :want.shape[1]],
+                              want)

@@ -289,3 +289,38 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             b = want[c].astype(float).to_numpy()
             assert ((np.isnan(a) & np.isnan(b))
                     | (a == b)).all(), (c, tol)
+
+
+def test_embedding_banded_lsh_recall(spark):
+    """Banding the hyperplane sketch recovers pairs a monolithic
+    sketch misses: 40 planted pairs at cos ~0.95 — banded recall must
+    beat all-bits-equal and clear 0.9 (seeded, deterministic)."""
+    from pyshepseg_spark.operators.dedup import embedding_near_dups
+    rng = np.random.default_rng(123)
+    dim, npairs = 32, 40
+    rows = []
+    for i in range(npairs):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        n = rng.standard_normal(dim)
+        n -= (n @ v) * v
+        n /= np.linalg.norm(n)
+        cos = 0.95
+        w = cos * v + np.sqrt(1 - cos * cos) * n
+        rows.append({"vec_id": 2 * i, "embedding": v.tolist()})
+        rows.append({"vec_id": 2 * i + 1, "embedding": w.tolist()})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    def recall(bands):
+        got = embedding_near_dups(df, threshold=0.94, bits=16,
+                                  bands=bands).toPandas()
+        hits = {(r.a, r.b) for r in got.itertuples()}
+        return sum((2 * i, 2 * i + 1) in hits
+                   for i in range(npairs)) / npairs
+
+    mono, banded = recall(1), recall(4)
+    assert banded > mono
+    assert banded >= 0.9
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        embedding_near_dups(df, bits=16, bands=3)

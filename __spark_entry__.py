@@ -513,6 +513,49 @@ def _q_a4_nodata_count(spark, sf):
                 "valid_cnt")
 
 
+def _px_grid_tiles(spark, sf, nsplit=2):
+    """The px-grid fixture as nsplit x nsplit REAL binary mosaic
+    tiles (segdata int64 + pixels u2), so the tile-decomposed spatial
+    stats (strip exchange included) run under the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+    px = _px_grid(spark, sf).toPandas()
+    seg = np.zeros((64, 64), dtype="<i8")
+    pix = np.zeros((64, 64), dtype="<u2")
+    seg[px["y"].to_numpy(), px["x"].to_numpy()] = px["seg_id"].to_numpy()
+    pix[px["y"].to_numpy(), px["x"].to_numpy()] = px["val"].to_numpy()
+    step = 64 // nsplit
+    rows = []
+    for tr in range(nsplit):
+        for tc in range(nsplit):
+            sl = (slice(tr * step, (tr + 1) * step),
+                  slice(tc * step, (tc + 1) * step))
+            rows.append({
+                "image_id": "img", "tcol": tc, "trow": tr,
+                "xout": tc * step, "yout": tr * step,
+                "out_xsize": step, "out_ysize": step, "nbands": 1,
+                "pixels": np.ascontiguousarray(pix[sl]).tobytes(),
+                "segdata": np.ascontiguousarray(seg[sl]).tobytes()})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _q_u3_edge_pixels_tiled(spark, sf):
+    # the SCALE-PATH U3 (per-tile partials + perimeter strip
+    # exchange) under the same relational neighbour-count oracle —
+    # 2x2 mosaic tiles so cross-tile resolution is exercised
+    from pyshepseg_spark.operators.spatialstats import edge_pixels_tiled
+    return edge_pixels_tiled(_px_grid_tiles(spark, sf),
+                             four_connected=True)
+
+
+def _q_u1_variogram_tiled(spark, sf):
+    from pyshepseg_spark.operators.spatialstats import variogram_tiled
+    out = variogram_tiled(_px_grid_tiles(spark, sf), max_dist=2)
+    return out.select("image_id", "seg_id",
+                      F.round("variogram_1", 6).alias("variogram_1"),
+                      F.round("variogram_2", 6).alias("variogram_2"))
+
+
 def _q_u2_mean_coords(spark, sf):
     from pyshepseg_spark.operators.spatialstats import mean_coords
     px = _px_grid(spark, sf)
@@ -874,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "fingerprint": _q_fingerprint,
         "u1_variogram": _q_u1_variogram,
+        "u1_variogram_tiled": _q_u1_variogram_tiled,
+        "u3_edge_pixels_tiled": _q_u3_edge_pixels_tiled,
         "u2_mean_coords": _q_u2_mean_coords,
         "u3_edge_pixels": _q_u3_edge_pixels,
         "colour_stretch": _q_colour_stretch,
@@ -890,7 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "a1_histogram": """
             SELECT o_custkey AS seg_id, COUNT(*) AS cnt
             FROM orders GROUP BY o_custkey
@@ -1440,6 +1485,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_features": _image_features_oracle(),
     }
+    # the tiled scale-path variants answer the same questions — the
+    # oracles are shared verbatim
+    d["u1_variogram_tiled"] = d["u1_variogram"]
+    d["u3_edge_pixels_tiled"] = d["u3_edge_pixels"]
+    return d
 
 
 def _shingle_cte(k: int) -> str:

@@ -34,7 +34,8 @@ HEADLINE = [
     "colour_stretch", "sessionization", "dedup_groups",
     "tpch_q6ish", "tpch_q3ish", "u1_variogram", "u2_mean_coords",
     "u3_edge_pixels", "pip_grid", "asof_join", "range_join",
-    "morton_cells",
+    "morton_cells", "a4_nodata_count", "a5_stats_named",
+    "image_features", "u1_variogram_tiled", "u3_edge_pixels_tiled",
 ]
 
 

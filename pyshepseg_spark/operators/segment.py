@@ -310,6 +310,25 @@ def with_offsets(seg_tiles):
         "offset", F.coalesce(F.sum("nseg").over(w), F.lit(0)))
 
 
+META_COLS = ["image_id", "tcol", "trow", "ntcols", "ntrows", "xpos",
+             "ypos", "xsize", "ysize", "nseg", "offset", "anchored",
+             "strip_top", "strip_left", "strip_bottom", "strip_right"]
+
+
+def checkpoint_with_meta(seg_tiles):
+    """Materialize the segmentation kernel output once (the S6 resume
+    point) and carve out a NARROW metadata checkpoint for the strip /
+    mapping consumers. Checkpointed RDD scans cannot column-prune, so
+    without the split every stitch consumer re-reads the fat
+    pixel/segtile binaries (four full scans); with it the fat rows
+    are scanned exactly twice — once to build the metadata, once by
+    the final paint/histogram pass."""
+    st = with_offsets(seg_tiles).localCheckpoint()
+    meta = st.select(*[c for c in META_COLS if c in st.columns]) \
+        .localCheckpoint()
+    return st, meta
+
+
 def extract_strips(seg_tiles_off, overlap: int):
     """Boundary strips keyed by the consumer tile, as a PURE SQL
     explode over the strip columns the segment kernel already emitted
@@ -692,9 +711,9 @@ def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
     tiles (faster, used when cross-tile consistency is not needed).
     Expressed here as an identity gid mapping — no strip join, no
     CC, no shuffle beyond the offset window."""
-    st = with_offsets(seg_tiles).localCheckpoint()
+    st, meta = checkpoint_with_meta(seg_tiles)
     if simple_recode:
-        mapping = (st.filter(F.col("nseg") > 0)
+        mapping = (meta.filter(F.col("nseg") > 0)
                    .select("image_id", "tcol", "trow",
                            F.explode(F.sequence(
                                F.col("offset") + 1,
@@ -702,10 +721,10 @@ def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
                            .alias("gid"))
                    .withColumn("final", F.col("gid")))
     else:
-        strips = extract_strips(st, cfg.overlap)
+        strips = extract_strips(meta, cfg.overlap)
         edges = correspondence_edges(strips)
         cc = connected_components(edges)
-        mapping = build_mapping(st, cc)
+        mapping = build_mapping(meta, cc)
     return paint_final_tiles(st, mapping, cfg.overlap,
                              with_histogram=with_histogram,
                              img_null_val=cfg.img_null_val)

@@ -128,14 +128,13 @@ def segment_stats_tiled(images_df, cfg, percentiles=(50,),
     derives the stats from the filtered bins and joins the A4
     nodata/valid counts on — same single pixel pass, one extra
     column-narrow aggregation."""
-    from .segment import (build_mapping, connected_components,
-                          correspondence_edges, explode_and_segment,
-                          extract_strips, with_offsets)
+    from .segment import (build_mapping, checkpoint_with_meta,
+                          connected_components, correspondence_edges,
+                          explode_and_segment, extract_strips)
 
-    st = with_offsets(explode_and_segment(images_df, cfg)) \
-        .localCheckpoint()
-    edges = correspondence_edges(extract_strips(st, cfg.overlap))
-    mapping = build_mapping(st, connected_components(edges))
+    st, meta = checkpoint_with_meta(explode_and_segment(images_df, cfg))
+    edges = correspondence_edges(extract_strips(meta, cfg.overlap))
+    mapping = build_mapping(meta, connected_components(edges))
     if not with_nodata or cfg.img_null_val is None:
         hist = stats_histogram_from_stitch(
             st, mapping, cfg.overlap, img_null_val=cfg.img_null_val)

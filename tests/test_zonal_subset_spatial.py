@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from pyshepseg_spark.operators.segment import assemble_image
@@ -296,3 +297,47 @@ def test_segment_stats_selected_matches_segment_stats(spark):
         segment_stats_selected(h, [("x", "percentile")])
     with pytest.raises(ValueError, match="percentile"):
         segment_stats_selected(h, [("x", "percentile", 101)])
+
+
+@pytest.mark.parametrize("four_connected", [True, False])
+def test_edge_pixels_tiled_equals_udf(spark, final_tiles,
+                                      four_connected):
+    """Tile-decomposed U3 (perimeter-only shuffle) == the per-segment
+    UDF on the real multi-tile segmentation fixture, exactly."""
+    from pyshepseg_spark.operators.spatialstats import (
+        apply_segment_udf, edge_pixels_tiled, edge_pixels_udf,
+        pixels_long)
+    func, schema = edge_pixels_udf(four_connected=four_connected)
+    want = apply_segment_udf(pixels_long(final_tiles), func, schema) \
+        .toPandas().sort_values(["image_id", "seg_id"],
+                                ignore_index=True)
+    got = edge_pixels_tiled(final_tiles,
+                            four_connected=four_connected) \
+        .toPandas().sort_values(["image_id", "seg_id"],
+                                ignore_index=True)
+    assert len(got) == len(want)
+    assert (got["seg_id"].to_numpy() == want["seg_id"].to_numpy()).all()
+    assert (got["num_edge_pixels"].to_numpy()
+            == want["num_edge_pixels"].to_numpy()).all()
+
+
+def test_variogram_tiled_equals_udf(spark, final_tiles):
+    """Tile-decomposed U1 == the per-segment UDF bitwise (dv2 sums of
+    integer imagery are exact in float64, so tile decomposition
+    cannot change the result)."""
+    from pyshepseg_spark.operators.spatialstats import (
+        apply_segment_udf, pixels_long, variogram_tiled,
+        variogram_udf)
+    func, schema = variogram_udf(max_dist=2)
+    want = apply_segment_udf(pixels_long(final_tiles), func, schema) \
+        .toPandas().sort_values(["image_id", "seg_id"],
+                                ignore_index=True)
+    got = variogram_tiled(final_tiles, max_dist=2) \
+        .toPandas().sort_values(["image_id", "seg_id"],
+                                ignore_index=True)
+    assert len(got) == len(want)
+    for c in ["variogram_1", "variogram_2"]:
+        a = got[c].to_numpy(np.float64)
+        b = want[c].to_numpy(np.float64)
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert (both_nan | (a == b)).all(), c

@@ -457,11 +457,15 @@ def _px_grid(spark, sf):
     from pyshepseg_spark.operators.scalewin import bounded_topk
     li = _t(spark, sf, "lineitem")
     # first 4096 rows in key order: TakeOrderedAndProject + a rank
-    # window over the 4096-row result only (no global window)
+    # window over the 4096-row result only (no global window).
+    # (l_orderkey, l_linenumber) is NOT unique in this data, so val
+    # is the final sort key: rows tying on all three are
+    # interchangeable — the grid is order-deterministic either way
     base = bounded_topk(
         li.select("l_orderkey", "l_linenumber",
                   F.floor("l_quantity").cast("long").alias("val")),
-        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc(),
+         F.col("val").asc()],
         4096, "rn").select((F.col("rn") - 1).alias("rid"), "val")
     px = (base.filter(F.col("rid") < 4096)
           .select(F.lit("img").alias("image_id"),
@@ -476,7 +480,8 @@ def _px_grid(spark, sf):
 _PX_CTE = """
         base AS (
             SELECT row_number() OVER (ORDER BY l_orderkey,
-                       l_linenumber) - 1 AS rid,
+                       l_linenumber,
+                       CAST(floor(l_quantity) AS BIGINT)) - 1 AS rid,
                    CAST(floor(l_quantity) AS BIGINT) AS val
             FROM lineitem
         ), px AS (

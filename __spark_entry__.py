@@ -325,6 +325,19 @@ def _q_tpch_q3ish(spark, sf):
                       .alias("o_orderdate"), "revenue", "rk")
 
 
+def _q_tpch_q4ish(spark, sf):
+    # semi-join shape (EXISTS): orders with at least one late-ish
+    # line item, counted per priority — left_semi keeps the probe
+    # side unduplicated, the shape Catalyst picks for EXISTS
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = li.filter(F.col("l_shipdate") >= F.lit("1997-01-01")) \
+        .select("l_orderkey")
+    return (o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
 def _q_dedup_exact(spark, sf):
     from pyshepseg_spark.operators.dedup import normalized_text
     d = _t(spark, sf, "documents")
@@ -906,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": _q_tpch_q5ish,
         "tpch_q6ish": _q_tpch_q6ish,
         "tpch_q3ish": _q_tpch_q3ish,
+        "tpch_q4ish": _q_tpch_q4ish,
         "dedup_exact": _q_dedup_exact,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1489,6 +1503,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_seq
         """,
         "image_features": _image_features_oracle(),
+        "tpch_q4ish": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01')
+            GROUP BY o_orderpriority
+        """,
     }
     # the tiled scale-path variants answer the same questions — the
     # oracles are shared verbatim

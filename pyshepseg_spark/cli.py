@@ -65,19 +65,34 @@ def cmd_pipeline(args):
                     tile_size=args.tilesize, overlap=args.overlap)
     images = spark.read.parquet(args.images)
     pcts = tuple(int(p) for p in args.percentiles.split(","))
-    segment_stats_tiled(images, cfg, percentiles=pcts) \
+    segment_stats_tiled(images, cfg, percentiles=pcts,
+                        with_nodata=args.with_nodata) \
         .write.mode("overwrite").parquet(args.out)
     print(f"wrote per-segment stats to {args.out}")
 
 
 def cmd_stats(args):
     spark = _session(args)
-    from .operators.zonal import segment_stats, tile_value_histogram
+    from pyspark.sql import functions as F
+
+    from .operators.zonal import (segment_nodata_counts, segment_stats,
+                                  tile_value_histogram)
     final = spark.read.parquet(args.final)
     pcts = tuple(int(p) for p in args.percentiles.split(","))
-    hist = tile_value_histogram(final, img_null_val=args.null_val)
-    segment_stats(hist, percentiles=pcts) \
-        .write.mode("overwrite").parquet(args.out)
+    if args.with_nodata and args.null_val is not None:
+        # A4: full histogram once, stats from the filtered bins,
+        # nodata/valid counts joined on (all-nodata segments kept)
+        hist_all = tile_value_histogram(final,
+                                        img_null_val=None).persist()
+        stats = segment_stats(
+            hist_all.filter(F.col("val") != args.null_val),
+            percentiles=pcts)
+        nd = segment_nodata_counts(hist_all, args.null_val)
+        out = nd.join(stats, ["image_id", "seg_id", "band"], "left")
+    else:
+        hist = tile_value_histogram(final, img_null_val=args.null_val)
+        out = segment_stats(hist, percentiles=pcts)
+    out.write.mode("overwrite").parquet(args.out)
     print(f"wrote per-segment stats to {args.out}")
 
 
@@ -139,6 +154,8 @@ def main(argv=None):
     pl.add_argument("--four-connected", default=True,
                     action=argparse.BooleanOptionalAction)
     pl.add_argument("--percentiles", default="50")
+    pl.add_argument("--with-nodata", action="store_true",
+                    help="A4: add per-segment nodata/valid counts")
     _add_common(pl)
     pl.set_defaults(fn=cmd_pipeline)
 
@@ -146,6 +163,8 @@ def main(argv=None):
     st.add_argument("--final", required=True)
     st.add_argument("--out", required=True)
     st.add_argument("--percentiles", default="50")
+    st.add_argument("--with-nodata", action="store_true",
+                    help="A4: add per-segment nodata/valid counts")
     st.add_argument("--null-val", type=int, default=None)
     _add_common(st)
     st.set_defaults(fn=cmd_stats)

@@ -57,7 +57,9 @@ def run_segmentation_bench(spark, n_images, size, cpus):
         .cache()
     images.count()  # materialize fixture outside the timed region
     t0 = time.time()
-    final, seg_tiles, _ = segment_images_tiled(images, cfg)
+    # fused paint+histogram: the zonal stage never re-reads fat tiles
+    final, seg_tiles, _ = segment_images_tiled(images, cfg,
+                                               with_histogram=True)
     hist = tile_value_histogram(final, img_null_val=65535)
     stats = segment_stats(hist, percentiles=(50,))
     _materialize(stats)

@@ -25,6 +25,27 @@ COMPLETION_STATE_SCHEMA = ("cnt long, vsum double, vmin long, "
                            "vmax long, expected long")
 
 
+def streaming_segment_images(spark, images_path, cfg, schema=None):
+    """Streaming ingest of the images table: a file-source stream of
+    image rows segmented continuously. The whole-image segmentation
+    kernel (operators.segment.segment_images) is a STATELESS
+    mapInPandas, so it composes with Structured Streaming unchanged —
+    each micro-batch emits its per-image rasters; downstream
+    per-segment aggregation either feeds segment_completion_stream
+    (stateful, exact eviction) or a watermarked windowed agg.
+
+    schema defaults to the input_hint images schema (imagegen)."""
+    from ..operators.segment import segment_images
+    if schema is None:
+        schema = ("image_id string, bytes binary, w int, h int, "
+                  "fmt string, caption string, phash long, "
+                  "num_clusters long")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(images_path))
+    return segment_images(stream, cfg)
+
+
 def segment_completion_stream(partials):
     """Streaming per-segment stat completion.
 

@@ -171,3 +171,40 @@ def test_streaming_windowed_watermark(spark, tmp_path):
     assert len(m) == len(got)          # every emitted key exists
     assert (m["n_s"] == m["n_b"]).all()
     assert np.allclose(m["value_sum_s"], m["value_sum_b"])
+
+
+def test_streaming_segment_ingest_equals_batch(spark, tmp_path):
+    """End-to-end streaming ingest (readStream over the images table
+    -> stateless whole-image segmentation): the streamed rasters are
+    BITWISE equal to the batch path on the same rows."""
+    from pyshepseg_spark.operators.segment import (SegConfig,
+                                                   segment_images)
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    from pyshepseg_spark.streaming.stateful import \
+        streaming_segment_images
+    pdf = generate_images_pdf(3, size=96, seed=42)
+    pdf["num_clusters"] = [int(c.split(": ")[1].split()[0])
+                           for c in pdf["caption"]]
+    src = str(tmp_path / "imgs")
+    # two files -> at least two micro-batch-able inputs
+    spark.createDataFrame(pdf.iloc[:2]).write.parquet(
+        src, mode="overwrite")
+    spark.createDataFrame(pdf.iloc[2:]).write.mode("append") \
+        .parquet(src)
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50)
+    out = streaming_segment_images(spark, src, cfg)
+    q = (out.writeStream.format("memory")
+         .queryName("seg_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("seg_stream_test").toPandas() \
+        .sort_values("image_id", ignore_index=True)
+    want = segment_images(spark.read.parquet(src), cfg).toPandas() \
+        .sort_values("image_id", ignore_index=True)
+    assert len(got) == 3
+    for i in range(3):
+        assert got.iloc[i]["image_id"] == want.iloc[i]["image_id"]
+        assert got.iloc[i]["segdata"] == want.iloc[i]["segdata"]
+        assert got.iloc[i]["nseg"] == want.iloc[i]["nseg"]

@@ -324,8 +324,10 @@ def checkpoint_with_meta(seg_tiles):
     are scanned exactly twice — once to build the metadata, once by
     the final paint/histogram pass."""
     st = with_offsets(seg_tiles).localCheckpoint()
+    # lazy: the narrow scan folds into the first consumer's job
+    # instead of adding a serial materialization barrier
     meta = st.select(*[c for c in META_COLS if c in st.columns]) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     return st, meta
 
 

@@ -375,6 +375,20 @@ def _q_quality_len(spark, sf):
                 .otherwise(0.0), 4).alias("punct_ratio"))
 
 
+def _q_quality_full(spark, sf):
+    # the REAL quality_score operator end to end: length/punct/
+    # stopword ratios, mean word length, composite [0,1] score
+    from pyshepseg_spark.operators.text import quality_score
+    d = _t(spark, sf, "documents")
+    q = quality_score(d)
+    return q.select(
+        "doc_id", "n_words",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("quality", 4).alias("quality"))
+
+
 def _q_ngram_jaccard(spark, sf):
     # exact word-3-gram Jaccard over a bounded candidate set
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
@@ -924,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_len": _q_quality_len,
+        "quality_full": _q_quality_full,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
         "events_windowed": _q_events_windowed,
@@ -1501,6 +1516,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(ts) AS VARCHAR) AS session_end,
                    ROUND(SUM(value), 2) AS value_sum
             FROM sess GROUP BY user_id, session_seq
+        """,
+        "quality_full": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       len(regexp_split_to_array(text, '\\s+'))
+                           AS n_words,
+                       length(text) - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g')) AS n_punct,
+                       regexp_split_to_array(lower(text), '\\s+') AS lw
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_chars, n_words,
+                       CASE WHEN n_chars > 0
+                            THEN n_punct * 1.0 / n_chars
+                            ELSE 0 END AS punct_ratio,
+                       CASE WHEN n_words > 0
+                            THEN (len(list_filter(lw, x -> x = 'the')) + len(list_filter(lw, x -> x = 'and')) + len(list_filter(lw, x -> x = 'of')) + len(list_filter(lw, x -> x = 'to')) + len(list_filter(lw, x -> x = 'is'))) * 1.0 / n_words
+                            ELSE 0 END AS stopword_ratio,
+                       CASE WHEN n_words > 0
+                            THEN (n_chars - n_words + 1) * 1.0 / n_words
+                            ELSE 0 END AS mean_word_len
+                FROM w
+            )
+            SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                   ROUND(punct_ratio, 4) AS punct_ratio,
+                   ROUND(stopword_ratio, 4) AS stopword_ratio,
+                   ROUND(mean_word_len, 4) AS mean_word_len,
+                   ROUND(((CASE WHEN n_chars >= 64
+                                AND n_chars <= 100000
+                                THEN 1.0 ELSE 0.3 END)
+                        + (CASE WHEN mean_word_len >= 2.0
+                                AND mean_word_len <= 12.0
+                                THEN 1.0 ELSE 0.3 END)
+                        + (CASE WHEN punct_ratio <= 0.2
+                                THEN 1.0 ELSE 0.5 END)) / 3.0, 4)
+                       AS quality
+            FROM r
         """,
         "image_features": _image_features_oracle(),
         "tpch_q4ish": """

@@ -57,3 +57,22 @@ def test_empty_input(spark):
     assert ordered_row_number(df, ["k"], "rn").count() == 0
     assert ordered_prefix_sum(df, ["k"], "v").count() == 0
     assert bounded_topk(df, [F.col("k")], 5).count() == 0
+
+
+def test_ordered_row_number_property(spark):
+    """Property sweep (seeded): arbitrary unique key sets at random
+    partitioning always yield the exact sorted enumeration."""
+    import numpy as np
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n = int(rng.integers(1, 2500))
+        nparts = int(rng.integers(1, 20))
+        keys = rng.choice(1_000_000, size=n, replace=False)
+        df = spark.createDataFrame(
+            [(int(k),) for k in keys], "k long").repartition(nparts)
+        out = ordered_row_number(df, ["k"], "rn",
+                                 npartitions=int(rng.integers(1, 24)))
+        pdf = out.orderBy("k").toPandas()
+        assert list(pdf["rn"]) == list(range(1, n + 1)), \
+            (trial, n, nparts)
+        assert list(pdf["k"]) == sorted(int(k) for k in keys)

@@ -76,3 +76,23 @@ def test_ordered_row_number_property(spark):
         assert list(pdf["rn"]) == list(range(1, n + 1)), \
             (trial, n, nparts)
         assert list(pdf["k"]) == sorted(int(k) for k in keys)
+
+
+def test_ordered_prefix_sum_property(spark):
+    """Property sweep (seeded): random (key, value) sets at random
+    partitioning always match a driver-side cumulative sum."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = int(rng.integers(1, 1500))
+        keys = rng.choice(1_000_000, size=n, replace=False)
+        vals = rng.integers(0, 100, size=n)
+        df = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in zip(keys, vals)],
+            "k long, v long").repartition(int(rng.integers(1, 12)))
+        out = ordered_prefix_sum(df, ["k"], "v", "off",
+                                 npartitions=int(rng.integers(1, 24)))
+        pdf = out.orderBy("k").toPandas()
+        order = np.argsort(keys)
+        expect = np.concatenate([[0], np.cumsum(vals[order])[:-1]])
+        assert (pdf["off"].to_numpy() == expect).all(), (trial, n)

@@ -291,21 +291,6 @@ def _q_tpch_q5ish(spark, sf):
                  F.count("*").alias("n_items")))
 
 
-def _q_tpch_q6ish(spark, sf):
-    # filter-heavy scan: every predicate must reach the parquet scan
-    # (PushedFilters) — the predicate-pushdown showcase
-    li = _t(spark, sf, "lineitem")
-    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
-                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
-                      & (F.col("l_discount") >= 0.04)
-                      & (F.col("l_discount") <= 0.08)
-                      & (F.col("l_quantity") < 30))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * F.col("l_discount")), 2)
-                 .alias("revenue"),
-                 F.count("*").alias("n_rows")))
-
-
 def _q_tpch_q3ish(spark, sf):
     # join + agg + deterministic top-k (order stats over revenue)
     o = _t(spark, sf, "orders")
@@ -360,19 +345,6 @@ def _q_token_counts(spark, sf):
     d = _t(spark, sf, "documents")
     ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return d.select("doc_id", ws.alias("n_ws_tokens"))
-
-
-def _q_quality_len(spark, sf):
-    d = _t(spark, sf, "documents")
-    t = F.col("text")
-    n_chars = F.length(t)
-    n_words = F.size(F.split(t, r"\s+"))
-    n_punct = n_chars - F.length(
-        F.regexp_replace(t, r"[^\w\s]", ""))
-    return d.select(
-        "doc_id", n_chars.alias("n_chars"), n_words.alias("n_words"),
-        F.round(F.when(n_chars > 0, n_punct / n_chars)
-                .otherwise(0.0), 4).alias("punct_ratio"))
 
 
 def _q_quality_full(spark, sf):
@@ -801,9 +773,13 @@ def _image_features_oracle(n=8, size=128, seed=42,
 
 
 def _q_embedding_near_dups_lsh(spark, sf):
-    # LSH scale path for embedding near-dups (rows-only: the random-
-    # hyperplane sketch is float-matmul, not SQL-replayable; the
-    # exact twin cosine_near_dups carries the value oracle)
+    # LSH scale path for embedding near-dups. The oracle is the
+    # EXACT all-pairs cosine join in DuckDB: at threshold 0.999 the
+    # qualifying pairs are exactly the planted scaled copies (a
+    # scaled vector keeps cosine == 1 and the identical hyperplane
+    # sketch, so banded LSH recovers them with recall 1), while the
+    # corpus's natural max pairwise cosine is ~0.51 — far from the
+    # threshold, so LSH's probabilistic recall never decides a pair.
     from pyshepseg_spark.operators.dedup import embedding_near_dups
     e = _t(spark, sf, "embeddings")
     # plant deterministic near-dups: scaled copies keep cosine == 1
@@ -814,8 +790,10 @@ def _q_embedding_near_dups_lsh(spark, sf):
                                lambda x: x * F.lit(1.0001))
                    .alias("embedding"),
                    "label"))
-    return embedding_near_dups(e.unionByName(dup),
-                               threshold=0.999, bits=12)
+    out = embedding_near_dups(e.unionByName(dup),
+                              threshold=0.999, bits=12)
+    return out.select("a", "b",
+                      F.round("cosine", 4).alias("cosine"))
 
 
 def _q_range_join(spark, sf):
@@ -931,13 +909,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_nodata_count": _q_a4_nodata_count,
         "tpch_q1": _q_tpch_q1,
         "tpch_q5ish": _q_tpch_q5ish,
-        "tpch_q6ish": _q_tpch_q6ish,
         "tpch_q3ish": _q_tpch_q3ish,
         "tpch_q4ish": _q_tpch_q4ish,
+        # early placement on purpose: the driver enumerates at most
+        # 50 queries, and these two fell off the tail in round 2
+        "image_features": _q_image_features,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "dedup_exact": _q_dedup_exact,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
-        "quality_len": _q_quality_len,
         "quality_full": _q_quality_full,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
@@ -963,8 +943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "morton_cells": _q_morton_cells,
-        "image_features": _q_image_features,
-        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
     }
 
 
@@ -1225,16 +1203,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
         "fingerprint": _fingerprint_oracle(),
-        "tpch_q6ish": """
-            SELECT ROUND(SUM(l_extendedprice * l_discount), 2)
-                       AS revenue,
-                   COUNT(*) AS n_rows
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount >= 0.04 AND l_discount <= 0.08
-              AND l_quantity < 30
-        """,
         "tpch_q3ish": """
             WITH rev AS (
                 SELECT o_orderkey, o_orderdate,
@@ -1434,17 +1402,6 @@ def oracle_sql() -> dict[str, str]:
                        '\\s+')) AS INT) AS n_ws_tokens
             FROM documents
         """,
-        "quality_len": """
-            SELECT doc_id,
-                   CAST(length(text) AS INT) AS n_chars,
-                   CAST(len(regexp_split_to_array(text, '\\s+'))
-                       AS INT) AS n_words,
-                   ROUND(CASE WHEN length(text) > 0 THEN
-                       (length(text) - length(regexp_replace(text,
-                        '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
-                       ELSE 0 END, 4) AS punct_ratio
-            FROM documents
-        """,
         "ngram_jaccard": """
             WITH sh AS (
                 SELECT doc_id, list_distinct([
@@ -1556,6 +1513,29 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "image_features": _image_features_oracle(),
+        "embedding_near_dups_lsh": """
+            -- exact all-pairs cosine ground truth: at threshold
+            -- 0.999 only the planted scaled copies qualify (natural
+            -- max pairwise cosine in this corpus is ~0.51), and a
+            -- scaled copy shares its source's hyperplane sketch, so
+            -- the banded-LSH query has recall 1 on every qualifying
+            -- pair — the approximate path must equal the exact join
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), u AS (
+                SELECT vec_id, v FROM e
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(v, x -> x * 1.0001)
+                FROM e WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4)
+                       AS cosine
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
         "tpch_q4ish": """
             SELECT o_orderpriority, COUNT(*) AS order_count
             FROM orders o

@@ -28,14 +28,15 @@ HEADLINE = [
     "a5_stats_finalize", "w4_percentile_exact", "o4_mode_maxby",
     "w1_dense_relabel", "w2_prefix_offsets", "j3_broadcast_lookup",
     "j1_mode_correspondence", "o3_min_by_nearest", "dedup_exact",
-    "lang_id", "token_counts", "quality_len", "minhash_near_dups",
+    "lang_id", "token_counts", "minhash_near_dups",
     "simhash_near_dups", "embedding_topk", "events_windowed",
     "knn_points", "ivf_topk", "cosine_near_dups", "fingerprint",
     "colour_stretch", "sessionization", "dedup_groups",
-    "tpch_q6ish", "tpch_q3ish", "u1_variogram", "u2_mean_coords",
+    "tpch_q3ish", "u1_variogram", "u2_mean_coords",
     "u3_edge_pixels", "pip_grid", "asof_join", "range_join",
     "morton_cells", "a4_nodata_count", "a5_stats_named",
-    "image_features", "u1_variogram_tiled", "u3_edge_pixels_tiled",
+    "image_features", "embedding_near_dups_lsh",
+    "u1_variogram_tiled", "u3_edge_pixels_tiled",
     "tpch_q4ish", "quality_full",
 ]
 

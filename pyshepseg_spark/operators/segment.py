@@ -67,6 +67,7 @@ SEG_TILE_SCHEMA = (
     "image_id string, tcol int, trow int, ntcols int, ntrows int, "
     "xpos int, ypos int, xsize int, ysize int, nbands int, "
     "pixels binary, segtile binary, nseg int, anchored array<long>, "
+    "present array<long>, "
     "strip_top binary, strip_left binary, strip_bottom binary, "
     "strip_right binary, "
     "n_single_elim int, n_small_elim int, seg_secs double"
@@ -148,7 +149,7 @@ def _trim_bounds(tc, tr, ntc, ntr, xs, ys, margin):
 SEG_COLUMNS = [
     "image_id", "tcol", "trow", "ntcols", "ntrows",
     "xpos", "ypos", "xsize", "ysize", "nbands", "pixels",
-    "segtile", "nseg", "anchored", "strip_top",
+    "segtile", "nseg", "anchored", "present", "strip_top",
     "strip_left", "strip_bottom", "strip_right",
     "n_single_elim", "n_small_elim", "seg_secs"]
 
@@ -175,6 +176,7 @@ def _segment_tile_record(image_id, tcol, trow, ntcols, ntrows,
     top, bottom, left, right = _trim_bounds(
         tcol, trow, ntcols, ntrows, xsize, ysize, margin)
     anchored = []
+    present = []
     if nseg > 0:
         rr, cc2 = np.nonzero(seg)
         ids = seg[rr, cc2].astype(np.int64)
@@ -186,6 +188,14 @@ def _segment_tile_record(image_id, tcol, trow, ntcols, ntrows,
         ok = ((minc[sel] >= left) & (minr[sel] >= top)
               & (minc[sel] < right) & (minr[sel] < bottom))
         anchored = sel[ok].tolist()
+        # raw ids with >=1 pixel in the trimmed core: the sequential
+        # stitch needs them to reproduce the reference's
+        # maxSegId = max(maxSegId, tileDataTrimmed.max()) update
+        # (tiling.py:1042-1043) — an anchored id CAN lie entirely in
+        # the margins (L-shape across bbox mins), in which case the
+        # reference does NOT advance maxSegId past it
+        pr = np.unique(seg[top:bottom, left:right])
+        present = pr[pr > 0].astype(np.int64).tolist()
 
     def strip(cond, arr):
         return (np.ascontiguousarray(arr).astype("<u4").tobytes()
@@ -202,6 +212,7 @@ def _segment_tile_record(image_id, tcol, trow, ntcols, ntrows,
         "segtile": seg.astype("<u4").tobytes(),
         "nseg": nseg,
         "anchored": anchored,
+        "present": present,
         "strip_top": strip(trow > 0, seg[:overlap, :]),
         "strip_left": strip(tcol > 0, seg[:, :overlap]),
         "strip_bottom": strip(trow < ntrows - 1, seg[-overlap:, :]),
@@ -312,6 +323,7 @@ def with_offsets(seg_tiles):
 
 META_COLS = ["image_id", "tcol", "trow", "ntcols", "ntrows", "xpos",
              "ypos", "xsize", "ysize", "nseg", "offset", "anchored",
+             "present",
              "strip_top", "strip_left", "strip_bottom", "strip_right"]
 
 
@@ -516,6 +528,139 @@ def _cc_distributed(edges, max_rounds=64):
                          F.col("l_v").alias("v"), "root")
 
 
+MAPPING_SCHEMA = ("image_id string, tcol int, trow int, gid long, "
+                  "final long")
+
+
+def _recode_strip(overlap_a, overlap_b, axis, recode):
+    """Replay of the reference's recodeSharedSegments
+    (tiling.py:1129-1204) on one overlap strip pair: for every
+    current-tile raw segment crossing the overlap midline, record the
+    mode of the neighbour's RELABELED strip under its footprint
+    (ties -> smallest value, scipy.stats.mode semantics; the null id
+    0 participates and can win — the reference recodes such segments
+    to null)."""
+    n = 0 if axis == "H" else 1
+    mid = overlap_a.shape[n] // 2
+    flat = overlap_a.ravel()
+    order = np.argsort(flat, kind="stable")
+    svals = flat[order]
+    nz = np.searchsorted(svals, 1)
+    if nz == len(svals):
+        return
+    order, svals = order[nz:], svals[nz:]
+    bounds = np.flatnonzero(np.diff(svals)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(svals)]])
+    coords = (order // overlap_a.shape[1] if n == 0
+              else order % overlap_a.shape[1])
+    fb = overlap_b.ravel()
+    for s, e in zip(starts, ends):
+        cs = coords[s:e]
+        if not (cs.min() < mid <= cs.max()):
+            continue
+        vals, cnts = np.unique(fb[order[s:e]], return_counts=True)
+        recode[int(svals[s])] = int(vals[np.argmax(cnts)])
+
+
+def sequential_stitch_mapping(meta, overlap: int):
+    """gid -> final mapping by EXACT replay of the reference's
+    sequential stitch (stitchTiles + recodeTile + relabelSegments,
+    tiling.py:950-1306) over boundary strips only.
+
+    The recode recurrence is inherently order-dependent: tile
+    (c, r) recodes against the already-relabelled strips of
+    (c, r-1) and (c-1, r), modes are taken over FINAL neighbour ids,
+    and a segment crossing both overlaps keeps only the left
+    neighbour's recode (dict overwrite) — none of which an
+    order-independent transitive closure reproduces in general (the
+    closure merges the top and left targets; the reference keeps
+    them distinct). So the engine evaluates the recurrence exactly,
+    per image, while touching none of the pixel data:
+
+    - input is the NARROW tile metadata (strips, anchored/present id
+      lists, counts) — O(pixels * overlap / tile_size) bytes, never
+      the tiles;
+    - tiles are hash-partitioned by image and sorted (trow, tcol);
+      the mapInPandas kernel streams them in row-major order keeping
+      ONLY the previous tile-row's relabelled strips (O(image_width *
+      overlap) state — a 100k-px-wide mosaic holds ~25 MB), so
+      arbitrarily tall mosaics stream through bounded memory;
+    - different images stitch in parallel (one sequential chain
+      each, matching the reference's own per-raster sequential
+      stitch); the pixel-heavy stages before (segment kernels) and
+      after (paint / histogram) remain embarrassingly parallel.
+
+    Returns (image_id, tcol, trow, gid, final) rows for gids with a
+    nonzero final id; consumers default unmapped gids to 0 (the
+    reference's SEGNULLVAL for unanchored, unrecoded margins).
+    """
+    need = ["image_id", "tcol", "trow", "xsize", "ysize", "nseg",
+            "offset", "anchored", "present",
+            "strip_top", "strip_left", "strip_bottom", "strip_right"]
+    df = (meta.select(*need)
+          .repartition("image_id")
+          .sortWithinPartitions("image_id", "trow", "tcol"))
+
+    def kernel(batches):
+        cur = None
+        bottoms = {}
+        right_rel = None
+        maxseg = 0
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.image_id != cur:
+                    cur = row.image_id
+                    bottoms, right_rel, maxseg = {}, None, 0
+                rd = {}
+                if row.trow > 0 and row.strip_top is not None:
+                    sa = np.frombuffer(row.strip_top, "<u4").reshape(
+                        overlap, row.xsize)
+                    _recode_strip(sa, bottoms[row.tcol], "H", rd)
+                if row.tcol > 0 and row.strip_left is not None:
+                    sa = np.frombuffer(row.strip_left, "<u4").reshape(
+                        row.ysize, overlap)
+                    _recode_strip(sa, right_rel, "V", rd)
+                nseg = int(row.nseg)
+                lut = np.zeros(nseg + 1, dtype=np.int64)
+                if rd:
+                    lut[np.fromiter(rd.keys(), np.int64, len(rd))] = \
+                        np.fromiter(rd.values(), np.int64, len(rd))
+                # fresh ids: ascending raw id over anchored-not-
+                # recoded (segLoc insertion order == ascending id,
+                # shepseg.py makeSegmentLocations)
+                fresh = np.asarray(
+                    sorted(set(int(a) for a in row.anchored)
+                           - set(rd)), dtype=np.int64)
+                lut[fresh] = maxseg + 1 + np.arange(len(fresh))
+                present = np.asarray(row.present, dtype=np.int64)
+                if len(present):
+                    maxseg = max(maxseg, int(lut[present].max()))
+                if row.strip_bottom is not None:
+                    sb = np.frombuffer(row.strip_bottom,
+                                       "<u4").reshape(
+                        overlap, row.xsize).astype(np.int64)
+                    bottoms[row.tcol] = lut[sb]
+                if row.strip_right is not None:
+                    sr = np.frombuffer(row.strip_right,
+                                       "<u4").reshape(
+                        row.ysize, overlap).astype(np.int64)
+                    right_rel = lut[sr]
+                ids = np.flatnonzero(lut)
+                if len(ids):
+                    out.append(pd.DataFrame({
+                        "image_id": row.image_id,
+                        "tcol": row.tcol, "trow": row.trow,
+                        "gid": ids + int(row.offset),
+                        "final": lut[ids]}))
+            yield (pd.concat(out, ignore_index=True) if out
+                   else pd.DataFrame(columns=[
+                       "image_id", "tcol", "trow", "gid", "final"]))
+
+    return df.mapInPandas(kernel, MAPPING_SCHEMA)
+
+
 def build_mapping(seg_tiles_off, cc_labels):
     """gid -> final dense per-image segment id.
 
@@ -663,7 +808,8 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
 
 def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
                          with_histogram: bool = False,
-                         validate: bool = True):
+                         validate: bool = True,
+                         mode: str = "sequential"):
     """Full pipeline: images -> final stitched seg tiles.
 
     Returns (final_tiles_df, seg_tiles_df, centres). seg_tiles_df is
@@ -693,19 +839,35 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
     else:
         tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
         seg_tiles = segment_tiles(tiles, centres, cfg)
-    final = stitch(seg_tiles, cfg, with_histogram=with_histogram)
+    final = stitch(seg_tiles, cfg, with_histogram=with_histogram,
+                   mode=mode)
     return final, seg_tiles, centres
 
 
 def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
-           simple_recode: bool = False):
+           simple_recode: bool = False, mode: str = "sequential"):
     """Stitch phase on a (possibly checkpoint-restored) seg_tiles.
 
-    seg_tiles fans out into four consumers (strips, anchored gids,
-    gid ranges, paint); localCheckpoint materializes the expensive
-    kernel output exactly once so the fan-out never re-runs the
-    segmentation (on a cluster this is the durable S6 checkpoint
-    instead — plans/checkpoint.py).
+    localCheckpoint materializes the expensive kernel output exactly
+    once so the stitch consumers never re-run the segmentation (on a
+    cluster this is the durable S6 checkpoint instead —
+    plans/checkpoint.py).
+
+    mode="sequential" (default): exact replay of the reference's
+    order-dependent recode recurrence over boundary strips
+    (:func:`sequential_stitch_mapping`) — bitwise-equal mosaics to
+    the reference on EVERY input, parallel across images, streaming
+    within an image.
+
+    mode="cc": the order-independent strip-join + mode-edge +
+    connected-components closure (J1/J2). Fully parallel WITHIN one
+    image, but a documented deviation from the reference: modes are
+    taken over raw (not already-recoded) neighbour labels and
+    top/left recode targets are transitively merged rather than
+    overwritten, so chained boundary segments can resolve
+    differently. Use for single giant mosaics where one sequential
+    chain per image is unacceptable and reference-exactness is not
+    required.
 
     simple_recode=True is the reference's simpleTileRecode mode
     (tiling.py:1024-1030): every tile's local IDs are just offset to
@@ -722,6 +884,8 @@ def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
                                F.col("offset") + F.col("nseg")))
                            .alias("gid"))
                    .withColumn("final", F.col("gid")))
+    elif mode == "sequential":
+        mapping = sequential_stitch_mapping(meta, cfg.overlap)
     else:
         strips = extract_strips(meta, cfg.overlap)
         edges = correspondence_edges(strips)
@@ -823,5 +987,6 @@ def assemble_image(final_tiles_pdf: pd.DataFrame, w: int, h: int):
 __all__ = ["SegConfig", "fit_global_centres", "segment_tiles",
            "with_offsets", "extract_strips", "correspondence_edges",
            "connected_components", "build_mapping",
+           "sequential_stitch_mapping",
            "paint_final_tiles", "segment_images_tiled", "stitch",
            "segment_images", "assemble_image", "DataFrame"]

@@ -128,13 +128,11 @@ def segment_stats_tiled(images_df, cfg, percentiles=(50,),
     derives the stats from the filtered bins and joins the A4
     nodata/valid counts on — same single pixel pass, one extra
     column-narrow aggregation."""
-    from .segment import (build_mapping, checkpoint_with_meta,
-                          connected_components, correspondence_edges,
-                          explode_and_segment, extract_strips)
+    from .segment import (checkpoint_with_meta, explode_and_segment,
+                          sequential_stitch_mapping)
 
     st, meta = checkpoint_with_meta(explode_and_segment(images_df, cfg))
-    edges = correspondence_edges(extract_strips(meta, cfg.overlap))
-    mapping = build_mapping(meta, connected_components(edges))
+    mapping = sequential_stitch_mapping(meta, cfg.overlap)
     if not with_nodata or cfg.img_null_val is None:
         hist = stats_histogram_from_stitch(
             st, mapping, cfg.overlap, img_null_val=cfg.img_null_val)

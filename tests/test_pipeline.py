@@ -39,7 +39,12 @@ def test_tiled_segmentation_reconstruction(images_fixture, final_tiles):
                            row["h"])
         seg = assemble_image(g, row["w"], row["h"])
         assert reconstruction_fraction(seg, img) == 1.0
-        assert ((seg == 0) == (truths[iid] == 0)).all()
+        # every null input pixel is null in the output; the reverse
+        # is NOT an invariant: the reference's sequential recode can
+        # legitimately null out a boundary segment (mode of the
+        # neighbour strip is SEGNULLVAL, tiling.py:1194-1203), and
+        # the engine reproduces that bitwise
+        assert (seg[truths[iid] == 0] == 0).all()
         sizes = np.bincount(seg.ravel())
         assert (sizes[1:] > 0).all()  # dense IDs, no empty segments
 
@@ -116,9 +121,15 @@ def test_large_multi_tile_grid(spark):
     img = decode_image(row["bytes"], row["fmt"], 1024, 1024)
     seg = assemble_image(fp, 1024, 1024)
     assert reconstruction_fraction(seg, img) == 1.0
-    assert ((seg == 0) == (truth == 0)).all()
+    assert (seg[truth == 0] == 0).all()
     sizes = np.bincount(seg.ravel())
     assert (sizes[1:] > 0).all()
+    # bitwise vs the reference sequential stitch across the full
+    # 4x4 grid (long recode chains through interior tiles)
+    from pyshepseg_spark.refharness import reference_stitched_mosaic
+    ref = reference_stitched_mosaic(
+        img, int(pdf["num_clusters"][0]), cfg)
+    assert (seg == ref).all()
 
 
 def test_fused_paint_histogram_equals_two_pass(spark, images_fixture,

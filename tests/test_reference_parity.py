@@ -9,135 +9,17 @@ functions execute as plain Python — semantically identical, just
 slow — which is why the images here are small.
 """
 
-import importlib.machinery
 import sys
-import types as pytypes
-from types import SimpleNamespace
 
 import numpy as np
 import pytest
 
-
-def _mk_module(name):
-    m = pytypes.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-    return m
-
-
-def _install_stubs():
-    """Minimal numba + sklearn stand-ins so /root/reference/pyshepseg
-    /shepseg.py imports and runs as pure Python."""
-    if "numba" in sys.modules:
-        return
-
-    numba = _mk_module("numba")
-
-    def njit(*args, **kw):
-        if args and callable(args[0]):
-            return args[0]
-        return lambda f: f
-
-    numba.njit = njit
-
-    # numpy-scalar-backed type stubs: callable as casts
-    # (types.uint32(x)), usable as numpy dtypes, and sliceable in
-    # jitclass specs (types.uint32[:, :])
-    def _scalar(npty):
-        return type(npty.__name__, (npty,), {
-            "__class_getitem__": classmethod(lambda c, i: c)})
-
-    tmod = _mk_module("numba.core.types")
-    for name, npty in [("uint32", np.uint32), ("uint8", np.uint8),
-                       ("int32", np.int32), ("int64", np.int64),
-                       ("float32", np.float32),
-                       ("float64", np.float64)]:
-        setattr(tmod, name, _scalar(npty))
-    tmod.boolean = _scalar(np.bool_)
-    core = _mk_module("numba.core")
-    core.types = tmod
-    numba.typeof = lambda x: None
-
-    typed = _mk_module("numba.typed")
-
-    class Dict(dict):
-        _dict_type = None
-
-        @staticmethod
-        def empty(key_type=None, value_type=None):
-            return Dict()
-
-    typed.Dict = Dict
-    typed.List = list
-
-    exp = _mk_module("numba.experimental")
-
-    def jitclass(spec=None):
-        def deco(cls):
-            cls.class_type = SimpleNamespace(instance_type=None)
-            return cls
-        if isinstance(spec, type):
-            return deco(spec)
-        return deco
-
-    exp.jitclass = jitclass
-    numba.core = core
-    numba.typed = typed
-    numba.experimental = exp
-    sys.modules.update({
-        "numba": numba, "numba.core": core,
-        "numba.core.types": tmod, "numba.typed": typed,
-        "numba.experimental": exp})
-
-    sk = _mk_module("sklearn")
-    skc = _mk_module("sklearn.cluster")
-
-    class KMeans:  # pragma: no cover - the test always passes kmeansObj
-        def __init__(self, **kw):
-            raise RuntimeError("sklearn stub: fit path not used")
-
-    skc.KMeans = KMeans
-    sk.cluster = skc
-    sys.modules.update({"sklearn": sk, "sklearn.cluster": skc})
-
-    # osgeo / scipy stand-ins (import-time only; the tests never
-    # touch GDAL rasters or scipy)
-    class _Any:
-        def __call__(self, *a, **kw):
-            return _Any()
-
-        def __getattr__(self, n):
-            return _Any()
-
-    def _anymod(name):
-        m = _mk_module(name)
-        m.__getattr__ = lambda n: _Any()
-        return m
-
-    osgeo = _anymod("osgeo")
-    for sub in ["gdal", "osr", "gdal_array"]:
-        sm = _anymod(f"osgeo.{sub}")
-        setattr(osgeo, sub, sm)
-        sys.modules[f"osgeo.{sub}"] = sm
-    sys.modules["osgeo"] = osgeo
-    scipy = _anymod("scipy")
-    scipy.stats = _anymod("scipy.stats")
-
-    def _mode(a, axis=0, **kw):
-        """Real replacement for scipy.stats.mode (used by the
-        reference stitch): most frequent value, ties -> smallest
-        (np.unique returns sorted values; argmax takes the first)."""
-        v, c = np.unique(np.asarray(a).ravel(), return_counts=True)
-        return SimpleNamespace(mode=v[np.argmax(c)],
-                               count=int(c.max()))
-
-    scipy.stats.mode = _mode
-    sys.modules["scipy"] = scipy
-    sys.modules["scipy.stats"] = scipy.stats
+from pyshepseg_spark.refharness import install_reference_stubs
 
 
 @pytest.fixture(scope="module")
 def refseg():
-    _install_stubs()
+    install_reference_stubs()
     sys.path.insert(0, "/root/reference")
     import pyshepseg.shepseg as refmod
     return refmod
@@ -332,7 +214,7 @@ def test_subset_recode_matches_reference(refseg, spark, final_tiles,
                                        mask_fn=mask_fn)
     sp = sub.toPandas()
     pdf, _, _ = images_fixture
-    for iid in pdf.image_id[:2]:
+    for iid in pdf.image_id:
         row = pdf[pdf.image_id == iid].iloc[0]
         fpdf = final_tiles.toPandas()
         seg_full = assemble_image(fpdf[fpdf.image_id == iid],
@@ -377,7 +259,7 @@ def test_stitch_matches_reference_sequential(refseg, spark,
     overlap = cfg.overlap
     margin = overlap // 2
 
-    for iid in pdf.image_id[:2]:
+    for iid in pdf.image_id:
         tiles = stp[stp.image_id == iid]
         ntc = int(tiles.ntcols.iloc[0])
         ntr = int(tiles.ntrows.iloc[0])

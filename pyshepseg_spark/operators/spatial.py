@@ -96,15 +96,22 @@ def point_in_segment(points, final_tiles, tile_size, overlap,
             first["out_ysize"], first["out_xsize"])
         xs = pts["x"].to_numpy(np.float64)
         ys = pts["y"].to_numpy(np.float64)
-        ix = np.clip(xs.astype(np.int64) - int(first["xout"]), 0,
-                     seg.shape[1] - 1)
-        iy = np.clip(ys.astype(np.int64) - int(first["yout"]), 0,
-                     seg.shape[0] - 1)
+        # pixel = (floor(y), floor(x)); a probe outside the image
+        # (equivalently outside its clamped tile's core — the trimmed
+        # cores tile the image exactly) answers the null segment id 0
+        # (the reference's SEGNULLVAL convention), never the nearest
+        # border pixel's segment
+        gx = np.floor(xs).astype(np.int64) - int(first["xout"])
+        gy = np.floor(ys).astype(np.int64) - int(first["yout"])
+        ok = ((gx >= 0) & (gx < seg.shape[1])
+              & (gy >= 0) & (gy < seg.shape[0]))
+        ix = np.clip(gx, 0, seg.shape[1] - 1)
+        iy = np.clip(gy, 0, seg.shape[0] - 1)
         return pd.DataFrame({
             "image_id": pts["image_id"],
             "point_id": pts["point_id"],
             "x": xs, "y": ys,
-            "seg_id": seg[iy, ix]})
+            "seg_id": np.where(ok, seg[iy, ix], 0)})
 
     keys = ["image_id", "tcol", "trow", "salt"]
     return (p.groupBy(*keys)

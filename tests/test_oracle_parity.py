@@ -65,16 +65,11 @@ def test_every_oracle_has_query():
         assert k in qs
 
 
-def test_no_oracle_queries_run(spark):
-    """Queries without SQL oracles still must run and return rows."""
+def test_every_query_has_oracle():
+    """Round 3 closed the gap: EVERY contract query now carries a
+    DuckDB oracle (the raster flagships via reference-replay VALUES
+    literals), and the driver enumerates at most 50 queries — stay
+    at exactly 50."""
     qs = entrymod.queries()
-    no_oracle = set(qs) - set(entrymod.oracle_sql())
-    # only segmentation-derived queries may lack an oracle (DuckDB
-    # cannot replay the raster kernels); they are exercised by the
-    # pipeline tests instead
-    assert no_oracle <= {"segmentation_zonal", "point_in_segment",
-                         "embedding_near_dups_lsh"}
-    # the cheap ones must actually run and produce rows (the raster
-    # queries are exercised by the pipeline tests)
-    for name in ["embedding_near_dups_lsh"]:
-        assert qs[name](spark, SF_DIR).count() > 0, name
+    assert set(qs) == set(entrymod.oracle_sql())
+    assert len(qs) == 50

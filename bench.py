@@ -46,10 +46,8 @@ def _materialize(df):
 
 
 def run_segmentation_bench(spark, n_images, size, cpus):
-    from pyshepseg_spark.operators.segment import (SegConfig,
-                                                   segment_images_tiled)
-    from pyshepseg_spark.operators.zonal import (segment_stats,
-                                                 tile_value_histogram)
+    from pyshepseg_spark.operators.segment import SegConfig
+    from pyshepseg_spark.operators.zonal import segment_stats_tiled
     from pyshepseg_spark.sources.imagegen import images_spark_df
 
     cfg = SegConfig(img_null_val=65535, four_connected=False,
@@ -59,11 +57,10 @@ def run_segmentation_bench(spark, n_images, size, cpus):
         .cache()
     images.count()  # materialize fixture outside the timed region
     t0 = time.time()
-    # fused paint+histogram: the zonal stage never re-reads fat tiles
-    final, seg_tiles, _ = segment_images_tiled(images, cfg,
-                                               with_histogram=True)
-    hist = tile_value_histogram(final, img_null_val=65535)
-    stats = segment_stats(hist, percentiles=(50,))
+    # stats-only consumption path: kernel-emitted histograms +
+    # sequential stitch mapping — ONE Arrow pass over pixels, no
+    # painted mosaic materialized
+    stats = segment_stats_tiled(images, cfg, percentiles=(50,))
     _materialize(stats)
     wall = time.time() - t0
     from pyshepseg_spark.operators.tiling import tile_grid

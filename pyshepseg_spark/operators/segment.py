@@ -156,9 +156,17 @@ SEG_COLUMNS = [
 
 def _segment_tile_record(image_id, tcol, trow, ntcols, ntrows,
                          xpos, ypos, xsize, ysize, img, pixels_bytes,
-                         centres, cfg):
+                         centres, cfg, emit_hist=False,
+                         keep_binaries=True):
     """Run the Shepherd kernel on one decoded tile and build the
-    seg_tiles row (shared by the chained and the fused kernels)."""
+    seg_tiles row (shared by the chained and the fused kernels).
+
+    emit_hist=True additionally attaches the tile's trimmed-core
+    (local_seg, band, value) histogram — computed here, while the
+    decoded tile is already in cache — so a stats-only consumer
+    never needs the pixel/segtile binaries again (keep_binaries=False
+    then drops them from the row entirely: the checkpoint shrinks
+    from O(pixels) to O(histogram bins + strips))."""
     overlap = cfg.overlap
     margin = overlap // 2
     t0 = time.time()
@@ -201,15 +209,13 @@ def _segment_tile_record(image_id, tcol, trow, ntcols, ntrows,
         return (np.ascontiguousarray(arr).astype("<u4").tobytes()
                 if cond else None)
 
-    return {
+    rec = {
         "image_id": image_id,
         "tcol": tcol, "trow": trow,
         "ntcols": ntcols, "ntrows": ntrows,
         "xpos": xpos, "ypos": ypos,
         "xsize": xsize, "ysize": ysize,
         "nbands": img.shape[0],
-        "pixels": pixels_bytes,
-        "segtile": seg.astype("<u4").tobytes(),
         "nseg": nseg,
         "anchored": anchored,
         "present": present,
@@ -221,20 +227,68 @@ def _segment_tile_record(image_id, tcol, trow, ntcols, ntrows,
         "n_small_elim": int(res.small_segments_eliminated),
         "seg_secs": time.time() - t0,
     }
+    if keep_binaries:
+        rec["pixels"] = pixels_bytes
+        rec["segtile"] = seg.astype("<u4").tobytes()
+    if emit_hist:
+        # trimmed-core FULL value histogram on LOCAL ids (nodata
+        # bins kept, so the A4 counter derives from the same rows);
+        # val < 2^17 for u16 imagery, same packing as zonal
+        core = seg[top:bottom, left:right].ravel().astype(np.int64)
+        m0 = core > 0
+        hist = []
+        for b in range(img.shape[0]):
+            v = img[b, top:bottom, left:right].ravel().astype(
+                np.int64)
+            if not m0.any():
+                continue
+            key = (core[m0] << np.int64(17)) | v[m0]
+            uk, cnt = np.unique(key, return_counts=True)
+            hist.extend(
+                {"local": int(k >> 17), "band": b,
+                 "val": int(k & ((1 << 17) - 1)), "cnt": int(c)}
+                for k, c in zip(uk, cnt))
+        rec["hist"] = hist
+    return rec
 
 
-def explode_and_segment(images_df, cfg: SegConfig):
+HIST_STRUCT = (", hist array<struct<local:long, band:int, val:long, "
+               "cnt:long>>")
+
+
+def _seg_tile_schema(emit_hist: bool, keep_binaries: bool):
+    s = SEG_TILE_SCHEMA
+    cols = list(SEG_COLUMNS)
+    if not keep_binaries:
+        s = s.replace("pixels binary, segtile binary, ", "")
+        cols = [c for c in cols if c not in ("pixels", "segtile")]
+    if emit_hist:
+        s += HIST_STRUCT
+        cols.append("hist")
+    return s, cols
+
+
+def explode_and_segment(images_df, cfg: SegConfig,
+                        emit_hist: bool = False,
+                        keep_binaries: bool = True):
     """images -> seg_tiles in ONE mapInPandas kernel: decode each
     image once, fit its deterministic centres, cut overlapping tiles
     and run the Shepherd kernel per tile — the raw tile bytes never
     round-trip through Arrow between an explode stage and a segment
     stage (the chained explode_tiles -> segment_tiles path moves
     every tile JVM->Python->JVM->Python; at high core counts that
-    memory traffic is the non-scaling fraction)."""
+    memory traffic is the non-scaling fraction).
+
+    emit_hist/keep_binaries: stats-only consumers set (True, False)
+    so the kernel output carries per-tile core histograms instead of
+    pixel/segtile binaries — the checkpoint and every downstream
+    exchange then scale with histogram bins + strip bytes, not
+    pixels."""
     from ..sources.codec import decode_image, encode_raw_u16
     from .tiling import fit_image_centres, tile_grid
 
     has_k = "num_clusters" in images_df.columns
+    schema, out_cols = _seg_tile_schema(emit_hist, keep_binaries)
 
     def kernel(batches):
         for pdf in batches:
@@ -253,15 +307,17 @@ def explode_and_segment(images_df, cfg: SegConfig):
                         img[:, yp:yp + ys, xp:xp + xs])
                     out.append(_segment_tile_record(
                         row.image_id, tc, tr, ntcols, ntrows,
-                        xp, yp, xs, ys, sub, encode_raw_u16(sub),
-                        centres, cfg))
-            yield pd.DataFrame(out, columns=SEG_COLUMNS)
+                        xp, yp, xs, ys, sub,
+                        encode_raw_u16(sub) if keep_binaries
+                        else None,
+                        centres, cfg, emit_hist=emit_hist,
+                        keep_binaries=keep_binaries))
+            yield pd.DataFrame(out, columns=out_cols)
 
     cols = ["image_id", "bytes", "w", "h", "fmt"]
     if has_k:
         cols.append("num_clusters")
-    return images_df.select(*cols).mapInPandas(kernel,
-                                               SEG_TILE_SCHEMA)
+    return images_df.select(*cols).mapInPandas(kernel, schema)
 
 
 def segment_tiles(tiles_df, centres, cfg: SegConfig):
@@ -563,7 +619,8 @@ def _recode_strip(overlap_a, overlap_b, axis, recode):
         recode[int(svals[s])] = int(vals[np.argmax(cnts)])
 
 
-def sequential_stitch_mapping(meta, overlap: int):
+def sequential_stitch_mapping(meta, overlap: int,
+                              output: str = "mapping"):
     """gid -> final mapping by EXACT replay of the reference's
     sequential stitch (stitchTiles + recodeTile + relabelSegments,
     tiling.py:950-1306) over boundary strips only.
@@ -594,10 +651,24 @@ def sequential_stitch_mapping(meta, overlap: int):
     Returns (image_id, tcol, trow, gid, final) rows for gids with a
     nonzero final id; consumers default unmapped gids to 0 (the
     reference's SEGNULLVAL for unanchored, unrecoded margins).
+
+    output="hist": instead of mapping rows, remap each tile's
+    kernel-emitted core histogram (``hist`` column, LOCAL ids)
+    through the lut in-kernel and emit partial final-id histogram
+    rows (image_id, seg_id, band, val, cnt) directly — the
+    stats-only path then needs NO checkpoint, NO mapping join and NO
+    explode: one linear job from image bytes to stats.
     """
     need = ["image_id", "tcol", "trow", "xsize", "ysize", "nseg",
-            "offset", "anchored", "present",
+            "anchored", "present",
             "strip_top", "strip_left", "strip_bottom", "strip_right"]
+    # gids are only emitted by the mapping output; the hist output
+    # needs no per-tile offsets (so callers can skip the
+    # with_offsets window entirely)
+    if output == "hist":
+        need.append("hist")
+    else:
+        need.append("offset")
     df = (meta.select(*need)
           .repartition("image_id")
           .sortWithinPartitions("image_id", "trow", "tcol"))
@@ -647,6 +718,27 @@ def sequential_stitch_mapping(meta, overlap: int):
                                        "<u4").reshape(
                         row.ysize, overlap).astype(np.int64)
                     right_rel = lut[sr]
+                if output == "hist":
+                    h = row.hist
+                    if h is not None and len(h):
+                        loc = np.fromiter((e["local"] for e in h),
+                                          np.int64, len(h))
+                        fin = lut[loc]
+                        keep = fin > 0
+                        if keep.any():
+                            out.append(pd.DataFrame({
+                                "image_id": row.image_id,
+                                "seg_id": fin[keep],
+                                "band": np.fromiter(
+                                    (e["band"] for e in h),
+                                    np.int32, len(h))[keep],
+                                "val": np.fromiter(
+                                    (e["val"] for e in h),
+                                    np.int64, len(h))[keep],
+                                "cnt": np.fromiter(
+                                    (e["cnt"] for e in h),
+                                    np.int64, len(h))[keep]}))
+                    continue
                 ids = np.flatnonzero(lut)
                 if len(ids):
                     out.append(pd.DataFrame({
@@ -654,11 +746,21 @@ def sequential_stitch_mapping(meta, overlap: int):
                         "tcol": row.tcol, "trow": row.trow,
                         "gid": ids + int(row.offset),
                         "final": lut[ids]}))
-            yield (pd.concat(out, ignore_index=True) if out
-                   else pd.DataFrame(columns=[
-                       "image_id", "tcol", "trow", "gid", "final"]))
+            if output == "hist":
+                yield (pd.concat(out, ignore_index=True) if out
+                       else pd.DataFrame(columns=[
+                           "image_id", "seg_id", "band", "val",
+                           "cnt"]))
+            else:
+                yield (pd.concat(out, ignore_index=True) if out
+                       else pd.DataFrame(columns=[
+                           "image_id", "tcol", "trow", "gid",
+                           "final"]))
 
-    return df.mapInPandas(kernel, MAPPING_SCHEMA)
+    schema = (MAPPING_SCHEMA if output == "mapping"
+              else "image_id string, seg_id long, band int, "
+                   "val long, cnt long")
+    return df.mapInPandas(kernel, schema)
 
 
 def build_mapping(seg_tiles_off, cc_labels):

@@ -42,7 +42,13 @@ def stats_histogram_from_stitch(seg_tiles_off, mapping, overlap: int,
     tilingstats.py:85-212): when the consumer wants statistics, a
     second copy of the mosaic through Arrow is pure memory-bandwidth
     cost and is the non-scaling fraction at high core counts. Use
-    paint_final_tiles when the raster itself is required."""
+    paint_final_tiles when the raster itself is required.
+
+    RESUME-path variant (input: a restored S6 checkpoint whose rows
+    carry pixel/segtile binaries but no kernel histograms). The
+    primary stats path, segment_stats_tiled, gets the histograms
+    from the segmentation kernel itself (explode_and_segment
+    emit_hist) and never re-reads binaries."""
     from .segment import _trim_bounds
     from .tiling import decode_tile_pixels
 
@@ -120,27 +126,36 @@ def segment_nodata_counts(hist_all, img_null_val: int):
 
 def segment_stats_tiled(images_df, cfg, percentiles=(50,),
                         with_nodata=False):
-    """images -> per-segment exact stats WITHOUT materializing the
-    painted mosaic (the stats-only consumption path, one Arrow pass
-    over the tiles after the stitch mapping).
+    """images -> per-segment exact stats as ONE LINEAR JOB, never
+    materializing the painted mosaic or re-reading pixels: the
+    segmentation kernel emits each tile's trimmed-core histogram on
+    local ids (explode_and_segment emit_hist, no pixel/segtile
+    binaries in its output at all), the sequential stitch kernel
+    remaps those bins to final ids as it computes each tile's lut
+    (sequential_stitch_mapping output="hist"), and the exact
+    finalizers run on the merged histogram. Pixels cross the Arrow
+    boundary exactly once; the only shuffles are the per-image
+    stitch repartition (strips + bins) and the histogram merge —
+    no checkpoint, no mapping join, no offsets window.
 
-    with_nodata=True builds the FULL histogram (nodata bins kept),
+    with_nodata=True keeps the FULL histogram (nodata bins kept),
     derives the stats from the filtered bins and joins the A4
-    nodata/valid counts on — same single pixel pass, one extra
-    column-narrow aggregation."""
-    from .segment import (checkpoint_with_meta, explode_and_segment,
-                          sequential_stitch_mapping)
+    nodata/valid counts on — the merged histogram is
+    locally checkpointed (it is segment-count-sized) so the kernel
+    runs once for the two consumers, with nothing left cached."""
+    from .segment import explode_and_segment, sequential_stitch_mapping
 
-    st, meta = checkpoint_with_meta(explode_and_segment(images_df, cfg))
-    mapping = sequential_stitch_mapping(meta, cfg.overlap)
+    st = explode_and_segment(images_df, cfg, emit_hist=True,
+                             keep_binaries=False)
+    part = sequential_stitch_mapping(st, cfg.overlap, output="hist")
+    hist_all = (part.groupBy("image_id", "seg_id", "band", "val")
+                .agg(F.sum("cnt").alias("cnt")))
     if not with_nodata or cfg.img_null_val is None:
-        hist = stats_histogram_from_stitch(
-            st, mapping, cfg.overlap, img_null_val=cfg.img_null_val)
-        return segment_stats(hist, percentiles=percentiles)
-    # two consumers (stats + nodata counts): persist the compact
-    # histogram so the pixel-pass kernel runs exactly once
-    hist_all = stats_histogram_from_stitch(st, mapping, cfg.overlap,
-                                           img_null_val=None).persist()
+        if cfg.img_null_val is not None:
+            hist_all = hist_all.filter(
+                F.col("val") != cfg.img_null_val)
+        return segment_stats(hist_all, percentiles=percentiles)
+    hist_all = hist_all.localCheckpoint()
     stats = segment_stats(
         hist_all.filter(F.col("val") != cfg.img_null_val),
         percentiles=percentiles)

@@ -53,8 +53,9 @@ def cmd_segment(args):
 
 def cmd_pipeline(args):
     """images parquet -> per-segment stats parquet in one go (the
-    stats-only consumption path: full stitch mapping, histogram
-    fused into the paint pass, mosaic never materialized)."""
+    stats-only consumption path: kernel-emitted histograms remapped
+    inside the sequential stitch — one linear job, pixels cross
+    Arrow once, mosaic never materialized)."""
     spark = _session(args)
     from .operators.segment import SegConfig
     from .operators.zonal import segment_stats_tiled
@@ -77,13 +78,18 @@ def cmd_stats(args):
 
     from .operators.zonal import (segment_nodata_counts, segment_stats,
                                   tile_value_histogram)
+    if args.with_nodata and args.null_val is None:
+        raise SystemExit("--with-nodata requires --null-val: nodata "
+                         "counting is undefined without a null value")
     final = spark.read.parquet(args.final)
     pcts = tuple(int(p) for p in args.percentiles.split(","))
-    if args.with_nodata and args.null_val is not None:
+    if args.with_nodata:
         # A4: full histogram once, stats from the filtered bins,
-        # nodata/valid counts joined on (all-nodata segments kept)
-        hist_all = tile_value_histogram(final,
-                                        img_null_val=None).persist()
+        # nodata/valid counts joined on (all-nodata segments kept);
+        # localCheckpoint (not persist) so nothing stays cached after
+        # the write
+        hist_all = tile_value_histogram(
+            final, img_null_val=None).localCheckpoint()
         stats = segment_stats(
             hist_all.filter(F.col("val") != args.null_val),
             percentiles=pcts)

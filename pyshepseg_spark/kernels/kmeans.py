@@ -95,33 +95,82 @@ def fit_spectral_clusters(img, num_clusters, subsample_pcnt, img_null_val,
     skip = int(round(100.0 / subsample_pcnt))
     x_sample = x_full[::skip]
     if not fixed_kmeans_init:
-        # Deterministic stand-in for k-means++/n_init=5: seed RNG from
-        # data so results are reproducible run-to-run.
-        rng = np.random.default_rng(12345)
-        idx = rng.choice(len(x_sample), size=min(num_clusters,
-                                                 len(x_sample)),
-                         replace=False)
-        init = x_sample[np.sort(idx)]
-    else:
-        init = diagonal_cluster_centres(x_sample, num_clusters)
-    return lloyd_kmeans(x_sample, init)
+        # reference-default behaviour (seeded): k-means++ x n_init,
+        # best inertia kept
+        return fit_kmeans_plusplus(x_sample, num_clusters)
+    return lloyd_kmeans(
+        x_sample, diagonal_cluster_centres(x_sample, num_clusters))
+
+
+def _inertia(x, centres):
+    x = x.astype(np.float64)
+    k = centres.shape[0]
+    total = 0.0
+    step = max(1, 4_000_000 // k)
+    for s in range(0, x.shape[0], step):
+        blk = x[s:s + step]
+        dd = ((blk[:, None, :] - centres[None, :, :]) ** 2).sum(axis=2)
+        total += dd.min(axis=1).sum()
+    return total
+
+
+def _kmeanspp_init(x, k, rng):
+    """Standard k-means++ D^2 seeding (Arthur & Vassilvitskii 2007;
+    what sklearn's default init does in the reference's
+    fitSpectralClusters, shepseg.py:301-311)."""
+    x = x.astype(np.float64)
+    centres = np.empty((k, x.shape[1]), dtype=np.float64)
+    centres[0] = x[rng.integers(len(x))]
+    d2 = ((x - centres[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centres[i:] = x[rng.integers(len(x), size=k - i)]
+            break
+        probs = d2 / total
+        centres[i] = x[rng.choice(len(x), p=probs)]
+        d2 = np.minimum(d2, ((x - centres[i]) ** 2).sum(axis=1))
+    return centres
+
+
+def fit_kmeans_plusplus(x_sample, num_clusters, n_init=5, seed=0):
+    """Reference-DEFAULT clustering behaviour as a documented option:
+    sklearn's KMeans(n_clusters, n_init=5) in fitSpectralClusters
+    (shepseg.py:301-311) = k-means++ seeding, ``n_init`` independent
+    runs, keep the lowest-inertia result. The reference's version is
+    nondeterministic (OS-seeded); this one seeds its RNG so reruns
+    reproduce — same inertia class as the reference, not bitwise
+    (a bitwise target cannot exist for a nondeterministic
+    reference)."""
+    rng = np.random.default_rng(seed)
+    best, best_inertia = None, np.inf
+    for _ in range(max(1, n_init)):
+        c = lloyd_kmeans(x_sample,
+                         _kmeanspp_init(x_sample, num_clusters, rng))
+        inertia = _inertia(x_sample, c)
+        if inertia < best_inertia:
+            best, best_inertia = c, inertia
+    return best
 
 
 def fit_spectral_clusters_sample(x_sample, num_clusters,
-                                 fixed_kmeans_init=True):
+                                 fixed_kmeans_init=True, n_init=5,
+                                 seed=0):
     """Driver-side fit over an already-collected global sample
     (tiling.py:196-224 fitSpectralClustersWholeFile analogue for the
     Spark pipeline). ``x_sample`` is (n, nbands), nulls already
-    removed."""
+    removed.
+
+    fixed_kmeans_init=True (engine default): deterministic diagonal
+    init, single Lloyd run — the reference's own test-suite path,
+    required for every bitwise parity target. False: the reference's
+    DEFAULT k-means++/n_init path (seeded here; see
+    fit_kmeans_plusplus)."""
     if fixed_kmeans_init:
-        init = diagonal_cluster_centres(x_sample, num_clusters)
-    else:
-        rng = np.random.default_rng(12345)
-        idx = rng.choice(len(x_sample),
-                         size=min(num_clusters, len(x_sample)),
-                         replace=False)
-        init = x_sample[np.sort(idx)]
-    return lloyd_kmeans(x_sample, init)
+        return lloyd_kmeans(
+            x_sample, diagonal_cluster_centres(x_sample, num_clusters))
+    return fit_kmeans_plusplus(x_sample, num_clusters,
+                               n_init=n_init, seed=seed)
 
 
 def apply_spectral_clusters(centres, img, img_null_val):

@@ -285,16 +285,45 @@ def duplicate_groups(pairs, a_col="a", b_col="b"):
     fit — they scale with duplicates, not corpus; reuse the
     distributed CC in operators.segment for larger lists). Returns
     (doc_id, group_rep) with group_rep = min doc id of the cluster —
-    the canonical representative to keep."""
+    the canonical representative to keep.
+
+    Integer ids run through CC directly. Non-integer ids (URLs,
+    UUIDs, content hashes — the common real-corpus case) are
+    xxhash64'ed into the CC domain and the labels joined back, with
+    an explicit collision check over the pair-list id universe (it
+    scales with duplicates, not corpus size) — a silent cast of a
+    string id would null-collapse every document into one group."""
     from pyspark.sql import functions as F
 
     from .segment import connected_components
+
+    dt = dict(pairs.dtypes)[a_col]
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        edges = pairs.select(F.lit("_").alias("image_id"),
+                             F.col(a_col).cast("long").alias("a"),
+                             F.col(b_col).cast("long").alias("b"))
+        cc = connected_components(edges)
+        return cc.select(F.col("v").alias("doc_id"),
+                         F.col("root").alias("group_rep"))
+    ids = (pairs.select(F.col(a_col).alias("doc_id"))
+           .union(pairs.select(F.col(b_col).alias("doc_id")))
+           .distinct()
+           .withColumn("hid", F.xxhash64("doc_id"))
+           .localCheckpoint())
+    chk = ids.agg(F.count("*").alias("n"),
+                  F.countDistinct("hid").alias("nh")).first()
+    if chk["n"] != chk["nh"]:
+        raise ValueError(
+            f"xxhash64 collision among {chk['n']} duplicate-pair "
+            f"ids; rerun with pre-assigned integer ids")
     edges = pairs.select(F.lit("_").alias("image_id"),
-                         F.col(a_col).cast("long").alias("a"),
-                         F.col(b_col).cast("long").alias("b"))
+                         F.xxhash64(a_col).alias("a"),
+                         F.xxhash64(b_col).alias("b"))
     cc = connected_components(edges)
-    return cc.select(F.col("v").alias("doc_id"),
-                     F.col("root").alias("group_rep"))
+    lab = ids.join(cc, ids.hid == cc.v).select("doc_id", "root")
+    rep = lab.groupBy("root").agg(
+        F.min("doc_id").alias("group_rep"))
+    return lab.join(rep, "root").select("doc_id", "group_rep")
 
 
 def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",

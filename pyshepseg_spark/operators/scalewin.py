@@ -21,10 +21,14 @@ the GLOBAL variants for operators whose order key has no natural
 partition (reference analogues: the global contiguous relabel,
 tiling.py doTiledShepherdSegmentation's running segment-ID offset).
 
-The ranged frame is persisted: the per-partition aggregate and the
-main pass must see the SAME range boundaries (range partitioning
-samples its bounds, so recomputation across jobs is not guaranteed
-to split identically).
+The ranged frame is localCheckpoint'ed (eager): the per-partition
+aggregate and the main pass must see the SAME range boundaries
+(range partitioning samples its bounds, so recomputation across
+jobs is not guaranteed to split identically). A checkpoint — unlike
+the persist() used previously — freezes the partitioning even if a
+partition is recomputed, and its storage is released by the context
+cleaner as soon as the caller drops the returned DataFrame, so
+repeated calls do not accumulate cached frames across a session.
 """
 
 from __future__ import annotations
@@ -42,14 +46,15 @@ def _ranged(df, order_cols, npartitions=None):
     return (df.repartitionByRange(npart, *order_cols)
             .sortWithinPartitions(*order_cols)
             .withColumn(_PID, F.spark_partition_id())
-            .persist())
+            .localCheckpoint())
 
 
 def _pid_offsets(ranged, agg_expr):
     """Exclusive per-partition prefix of ``agg_expr`` as a tiny
     broadcastable (pid, offset) frame. One row per physical
     partition; the collect is bounded by partition count."""
-    per = (ranged.groupBy(_PID).agg(agg_expr.alias("_v"))
+    per = (ranged.groupBy(_PID)
+           .agg(F.coalesce(agg_expr, F.lit(0)).alias("_v"))
            .orderBy(_PID).collect())
     spark = ranged.sparkSession
     acc, rows = 0, []

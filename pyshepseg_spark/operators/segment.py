@@ -781,9 +781,20 @@ def build_mapping(seg_tiles_off, cc_labels):
              .select(anchored.image_id.alias("image_id"), "gid",
                      F.coalesce(F.col("root"),
                                 F.col("gid")).alias("root")))
-    w = Window.partitionBy("image_id").orderBy("root")
-    dense = (roots.select("image_id", "root").distinct()
-             .withColumn("final", F.row_number().over(w)))
+    # per-image dense rank WITHOUT a per-image window (a single
+    # giant mosaic would put all its roots — O(segments) — into one
+    # window task): global two-phase row_number keyed by
+    # (image_id, root), then subtract each image's first global rank
+    from .scalewin import ordered_row_number
+    rn = ordered_row_number(
+        roots.select("image_id", "root").distinct(),
+        ["image_id", "root"], "_grn")
+    base = rn.groupBy("image_id").agg(F.min("_grn").alias("_base"))
+    dense = (rn.join(base, "image_id")
+             .withColumn("final",
+                         (F.col("_grn") - F.col("_base") + 1)
+                         .cast("int"))
+             .drop("_grn", "_base"))
 
     # the mapping keeps its tile key: consumers (paint / fused
     # histogram) group straight by tile instead of re-exploding the

@@ -401,6 +401,12 @@ def segment_stats_selected(hist, selection):
                 len(sel) != 3 or not 0 <= sel[2] <= 100):
             raise ValueError(f"percentile needs (name, 'percentile', "
                              f"0..100), got {sel!r}")
+        if sel[1] != "percentile" and len(sel) == 3:
+            # the reference selection format treats a param on a
+            # non-percentile stat as malformed — don't silently
+            # ignore it
+            raise ValueError(f"statsSelection entry {sel!r}: only "
+                             f"'percentile' takes a third element")
 
     need_cum = any(s[1] in ("median", "percentile") for s in selection)
     h = hist

@@ -15,6 +15,30 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+# Cluster deployment recipe (S11). The engine needs NO code changes
+# for Iceberg — only session conf. For a 10^12-image deployment:
+#
+#   spark-submit --py-files pyshepseg_spark.zip \
+#     --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+#     --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+#     --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+#     --conf spark.sql.catalog.lake.type=glue \        # or hive/rest/hadoop
+#     --conf spark.sql.catalog.lake.warehouse=s3://bucket/warehouse \
+#     job.py
+#
+# then pass Iceberg identifiers ("lake.db.images") instead of paths.
+# Recommended layouts:
+#   images:      partitioned by bucket(N, image_id) — bounded file
+#                sizes under skewed ingest, pruned point lookups
+#   final tiles: partitioned by bucket(N, image_id); Iceberg
+#                metadata prunes to one bucket per image on read
+#   lineage:     unpartitioned (tiny, append-only)
+# Writers use saveAsTable/append; Iceberg gives snapshot isolation
+# for the checkpoint-resume flow (plans/checkpoint.py) and
+# metadata-level file skipping for the probe joins.
+ICEBERG_RUNTIME_PACKAGE = (
+    "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0")
+
 
 @lru_cache(maxsize=1)
 def iceberg_available(_cache_key: int = 0) -> bool:

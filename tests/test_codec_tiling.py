@@ -208,3 +208,31 @@ def test_overview_pyramid_matches_whole_mosaic_subsample(spark):
         assert filled[:want.shape[0], :want.shape[1]].all()
         assert np.array_equal(got[:want.shape[0], :want.shape[1]],
                               want)
+
+
+def test_iceberg_round_trip_when_runtime_present(spark, tmp_path):
+    """S11: Iceberg catalog round trip with partition pruning —
+    executes only when the Iceberg Spark runtime jars are on the
+    classpath (this sandbox has none; on a cluster, add
+    catalog.ICEBERG_RUNTIME_PACKAGE via --packages and the catalog
+    conf documented in sources/catalog.py)."""
+    import pytest
+
+    from pyshepseg_spark.sources.catalog import iceberg_available
+    if not iceberg_available():
+        pytest.skip("no Iceberg runtime jars in this container; "
+                    "deployment recipe documented in "
+                    "sources/catalog.py")
+    from pyspark.sql import functions as F
+
+    from pyshepseg_spark.sources.catalog import load_table, write_table
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.t")
+    df = spark.range(100).select(
+        F.concat(F.lit("img_"), F.col("id")).alias("image_id"),
+        (F.col("id") % 7).alias("v"))
+    write_table(df, "lake.t.images", partition_by=["v"])
+    back = load_table(spark, "lake.t.images")
+    assert back.count() == 100
+    plan = back.filter(F.col("v") == 3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "v = 3" in plan or "filters=v = 3" in plan

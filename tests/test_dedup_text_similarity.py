@@ -324,3 +324,33 @@ def test_embedding_banded_lsh_recall(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="divisible"):
         embedding_near_dups(df, bits=16, bands=3)
+
+
+def test_duplicate_groups_string_ids(spark):
+    """URL-style string doc ids must cluster correctly (a silent
+    cast-to-long would null-collapse every doc into one group), and
+    group_rep is the lexicographic min of each cluster."""
+    from pyshepseg_spark.operators.dedup import duplicate_groups
+    pairs = spark.createDataFrame(
+        [("https://a.example/1", "https://b.example/2"),
+         ("https://b.example/2", "https://c.example/3"),
+         ("https://x.example/9", "https://y.example/8")],
+        "a string, b string")
+    got = {r["doc_id"]: r["group_rep"]
+           for r in duplicate_groups(pairs).collect()}
+    assert got == {
+        "https://a.example/1": "https://a.example/1",
+        "https://b.example/2": "https://a.example/1",
+        "https://c.example/3": "https://a.example/1",
+        "https://x.example/9": "https://x.example/9",
+        "https://y.example/8": "https://x.example/9",
+    }
+
+
+def test_duplicate_groups_integer_ids_unchanged(spark):
+    from pyshepseg_spark.operators.dedup import duplicate_groups
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (40, 41)], "a bigint, b bigint")
+    got = {r["doc_id"]: r["group_rep"]
+           for r in duplicate_groups(pairs).collect()}
+    assert got == {5: 2, 2: 2, 9: 2, 40: 40, 41: 40}

@@ -41,3 +41,17 @@ def test_salted_broadcast_join_equals_plain(spark):
         "name").count().collect()
     assert sorted((r["name"], r["count"]) for r in plain) == \
         sorted((r["name"], r["count"]) for r in salted)
+
+
+def test_cli_stats_with_nodata_requires_null_val(tmp_path):
+    """--with-nodata without --null-val must error, not silently
+    fall back to plain stats."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m", "pyshepseg_spark.cli", "stats",
+         "--final", str(tmp_path / "nope.parquet"),
+         "--out", str(tmp_path / "o.parquet"), "--with-nodata"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode != 0
+    assert "requires --null-val" in (r.stderr + r.stdout)

@@ -341,3 +341,13 @@ def test_variogram_tiled_equals_udf(spark, final_tiles):
         b = want[c].to_numpy(np.float64)
         both_nan = np.isnan(a) & np.isnan(b)
         assert (both_nan | (a == b)).all(), c
+
+
+def test_stats_selection_rejects_param_on_non_percentile(spark):
+    from pyshepseg_spark.operators.zonal import segment_stats_selected
+    hist = spark.createDataFrame(
+        [("i", 1, 0, 5, 3)],
+        "image_id string, seg_id long, band int, val long, cnt long")
+    import pytest
+    with pytest.raises(ValueError, match="third element"):
+        segment_stats_selected(hist, [("x", "mean", 99)])

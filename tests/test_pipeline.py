@@ -279,3 +279,31 @@ def test_distributed_cc_equals_driver_union_find(spark):
     # roots are component minima
     g = drv.groupby(["image_id", "root"]).v.min()
     assert (g.values == [k[1] for k in g.index]).all()
+
+
+def test_cc_stitch_mode_still_consistent(spark, images_fixture, cfg):
+    """mode='cc' (order-independent fixpoint stitch for single giant
+    mosaics) remains available and self-consistent: reconstruction
+    gate holds, IDs dense, and it agrees with the sequential-exact
+    default wherever no boundary segment chains through a recoded
+    strip (image 0 of the fixture — the parity suite's original
+    bitwise case)."""
+    pdf, truths, images = images_fixture
+    final_cc, _, _ = segment_images_tiled(images, cfg, mode="cc")
+    fpdf = final_cc.toPandas()
+    from tests.conftest import SIZE, reconstruction_fraction
+    for iid, g in fpdf.groupby("image_id"):
+        row = pdf[pdf.image_id == iid].iloc[0]
+        img = decode_image(row["bytes"], row["fmt"], row["w"],
+                           row["h"])
+        seg = assemble_image(g, row["w"], row["h"])
+        assert reconstruction_fraction(seg, img) == 1.0
+        sizes = np.bincount(seg.ravel())
+        assert (sizes[1:] > 0).all()
+    # image 0: both modes bitwise-equal (no chained recodes there)
+    final_seq, _, _ = segment_images_tiled(images, cfg)
+    iid = pdf.image_id.iloc[0]
+    sa = assemble_image(
+        final_seq.toPandas().query("image_id == @iid"), SIZE, SIZE)
+    sb = assemble_image(fpdf[fpdf.image_id == iid], SIZE, SIZE)
+    assert np.array_equal(sa, sb)

@@ -55,7 +55,13 @@ class SegConfig:
     max_spectral_diff: object = "auto"
     img_null_val: int | None = None
     four_connected: bool = True
+    # True (engine default): deterministic diagonal-init Lloyd — the
+    # reference test suite's fixedKMeansInit path, required for every
+    # bitwise parity target. False: the reference's DEFAULT sklearn
+    # behaviour (k-means++ seeding x kmeans_n_init runs, best
+    # inertia kept), seeded for reproducibility here.
     fixed_kmeans_init: bool = True
+    kmeans_n_init: int = 5
     spect_dist_pcntile: int = 50
     max_clump_size: int = MAX_CLUMP_SIZE
     tile_size: int = 256
@@ -1041,11 +1047,15 @@ def segment_images(images_df, cfg: SegConfig, centres=None):
 
     def kernel(batches):
         from ..sources.codec import decode_image
+        from .tiling import fit_image_centres
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 t0 = time.time()
                 img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                k = int(getattr(row, "num_clusters",
+                                cfg_b.num_clusters)
+                        or cfg_b.num_clusters)
                 if shared is not None:
                     c = shared
                 elif hasattr(row, "centres"):
@@ -1053,18 +1063,16 @@ def segment_images(images_df, cfg: SegConfig, centres=None):
                                       dtype="<f8").reshape(
                         -1, img.shape[0])
                 else:
-                    c = None
+                    # same floored-sample fit as the tiled path:
+                    # both consumption paths give identical results
+                    # on images that fit one tile
+                    c = fit_image_centres(img, k, cfg_b)
                 res = do_shepherd_segmentation(
                     img,
-                    num_clusters=int(getattr(row, "num_clusters",
-                                             cfg_b.num_clusters)
-                                     or cfg_b.num_clusters),
-                    cluster_subsample_pcnt=1,
                     min_segment_size=cfg_b.min_segment_size,
                     max_spectral_diff=cfg_b.max_spectral_diff,
                     img_null_val=cfg_b.img_null_val,
                     four_connected=cfg_b.four_connected,
-                    fixed_kmeans_init=cfg_b.fixed_kmeans_init,
                     centres=c,
                     spect_dist_pcntile=cfg_b.spect_dist_pcntile,
                     max_clump_size=cfg_b.max_clump_size)

@@ -206,7 +206,9 @@ def fit_image_centres(img, k, cfg):
     npix = x.shape[0]
     target = min(npix, max(npix // 100, k * 200, 2000))
     x = x[::max(1, npix // target)].astype(np.float64)
-    return fit_spectral_clusters_sample(x, k, cfg.fixed_kmeans_init)
+    return fit_spectral_clusters_sample(
+        x, k, cfg.fixed_kmeans_init,
+        n_init=getattr(cfg, "kmeans_n_init", 5))
 
 
 def explode_tiles(images_df, tile_size: int, overlap: int,

@@ -276,21 +276,25 @@ def segment_and_histogram(images_df, cfg):
 
     def kernel(batches):
         from ..sources.codec import decode_image
+        from .tiling import fit_image_centres
         for pdf in batches:
             frames = []
             for row in pdf.itertuples(index=False):
                 t0 = _time.time()
                 img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                k = int(getattr(row, "num_clusters",
+                                cfg_b.num_clusters)
+                        or cfg_b.num_clusters)
+                # same floored-sample centre fit as the tiled path,
+                # so single-tile images give identical results on
+                # both consumption paths
                 res = do_shepherd_segmentation(
                     img,
-                    num_clusters=int(getattr(row, "num_clusters",
-                                             cfg_b.num_clusters)
-                                     or cfg_b.num_clusters),
+                    centres=fit_image_centres(img, k, cfg_b),
                     min_segment_size=cfg_b.min_segment_size,
                     max_spectral_diff=cfg_b.max_spectral_diff,
                     img_null_val=cfg_b.img_null_val,
                     four_connected=cfg_b.four_connected,
-                    fixed_kmeans_init=cfg_b.fixed_kmeans_init,
                     spect_dist_pcntile=cfg_b.spect_dist_pcntile,
                     max_clump_size=cfg_b.max_clump_size)
                 seg = res.segimg.ravel().astype(np.int64)

@@ -307,3 +307,62 @@ def test_cc_stitch_mode_still_consistent(spark, images_fixture, cfg):
         final_seq.toPandas().query("image_id == @iid"), SIZE, SIZE)
     sb = assemble_image(fpdf[fpdf.image_id == iid], SIZE, SIZE)
     assert np.array_equal(sa, sb)
+
+
+def test_sequential_stitch_random_configs_bitwise(spark):
+    """Property-style stitch parity: random seeds x random grid
+    shapes (edge-grown last row/col, asymmetric overlaps) — the
+    distributed sequential stitch must equal the reference recode
+    replay bitwise on all of them, not just the curated fixtures."""
+    import pandas as pd
+    from pyshepseg_spark.refharness import reference_stitched_mosaic
+    from pyshepseg_spark.operators.segment import segment_images_tiled
+    from pyshepseg_spark.sources.imagegen import generate_image
+
+    cases = [  # (seed, size, tile, overlap)
+        (11, 200, 96, 24),    # 3x3 with heavy edge-grow
+        (12, 320, 128, 64),   # fat overlap (mid = 32)
+        (13, 260, 192, 48),   # 2x2, uneven core split
+    ]
+    rows, cfgs = [], []
+    for seed, size, tile, ov in cases:
+        row, _ = generate_image(seed, size=size)
+        row = dict(row)
+        row["num_clusters"] = int(
+            row["caption"].split(": ")[1].split()[0])
+        rows.append(row)
+        cfgs.append((size, SegConfig(
+            img_null_val=65535, four_connected=False,
+            min_segment_size=50, tile_size=tile, overlap=ov)))
+    for row, (size, cfg) in zip(rows, cfgs):
+        images = spark.createDataFrame(pd.DataFrame([row]))
+        final, _, _ = segment_images_tiled(images, cfg)
+        got = assemble_image(final.toPandas(), size, size)
+        img = decode_image(row["bytes"], row["fmt"], size, size)
+        ref = reference_stitched_mosaic(img, row["num_clusters"], cfg)
+        assert (got == ref).all(), (row["image_id"], cfg.tile_size,
+                                    cfg.overlap)
+
+
+def test_single_tile_images_tiled_equals_whole_image_stats(spark):
+    """Images no bigger than one tile: the tiled stats path (stitch
+    degenerate) must produce exactly the whole-image fused flagship's
+    stats — the two consumption paths agree where they overlap."""
+    import pandas as pd
+    from pyshepseg_spark.operators.zonal import (
+        segment_and_histogram, segment_stats, segment_stats_tiled)
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    pdf = generate_images_pdf(3, size=96, seed=5)
+    pdf["num_clusters"] = [int(c.split(": ")[1].split()[0])
+                           for c in pdf["caption"]]
+    images = spark.createDataFrame(pdf)
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=128, overlap=32)
+    a = segment_stats_tiled(images, cfg, percentiles=(50,)) \
+        .toPandas().sort_values(
+            ["image_id", "seg_id", "band"], ignore_index=True)
+    b = segment_stats(
+        segment_and_histogram(images, cfg), percentiles=(50,)) \
+        .toPandas().sort_values(
+            ["image_id", "seg_id", "band"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -92,6 +92,53 @@ AUDIO_FEATURES_SCHEMA = ("media_id string, n_samples long, "
                          "sample_rate int, rms double")
 
 
+def image_near_dups(images_df, max_hamming: int = 6,
+                    blocks: int = 8, id_col="image_id",
+                    phash_col="phash", recompute: bool = False):
+    """Image-level near-duplicate pairs over the image+caption table
+    via the 64-bit perceptual hash (``phash`` column, input_hint
+    schema; sources/codec.py average_phash): pigeonhole-blocked
+    Hamming join — the same guarantee machinery as text SimHash
+    (dedup.simhash_near_dups: a pair within ``max_hamming`` shares at
+    least one of ``blocks`` exact block keys when blocks >=
+    max_hamming+1), so the shuffle carries block-key candidates, never
+    all image pairs. Returns (a, b, hamming).
+
+    recompute=True re-derives the hash from the bytes column through
+    the decode kernel (image_features-style mapInPandas) instead of
+    trusting the stored column — the ingest-validation mode."""
+    from ..operators.dedup import simhash_near_dups
+
+    if recompute:
+        from ..sources.codec import decode_image
+        from pyspark.sql import functions as F
+
+        def kernel(batches):
+            from ..sources.codec import average_phash
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    img = decode_image(row.bytes, row.fmt, row.w,
+                                       row.h)
+                    out.append({"image_id": row.image_id,
+                                "phash": int(average_phash(img[0]))})
+                yield pd.DataFrame(
+                    out, columns=["image_id", "phash"])
+
+        hashes = images_df.select(
+            "image_id", "bytes", "w", "h", "fmt").mapInPandas(
+            kernel, "image_id string, phash long")
+        sim = hashes.select(F.col("image_id").alias(id_col),
+                            F.col("phash").alias("simhash"))
+    else:
+        from pyspark.sql import functions as F
+        sim = images_df.select(
+            F.col(id_col), F.col(phash_col).alias("simhash"))
+    return simhash_near_dups(sim, id_col=id_col,
+                             max_hamming=max_hamming,
+                             blocks=blocks, hash_bits=64)
+
+
 def audio_features(audio_df, fake: bool = True):
     """STUB: audio decode. No audio codec library exists in this
     container; with fake=True a deterministic fake derives features

@@ -208,3 +208,59 @@ def test_streaming_segment_ingest_equals_batch(spark, tmp_path):
         assert got.iloc[i]["image_id"] == want.iloc[i]["image_id"]
         assert got.iloc[i]["segdata"] == want.iloc[i]["segdata"]
         assert got.iloc[i]["nseg"] == want.iloc[i]["nseg"]
+
+
+def test_image_near_dups_matches_exact_hamming_join(spark):
+    """phash-blocked image near-dup join == DuckDB's exact quadratic
+    Hamming join on the same table (pigeonhole guarantee: blocks=8 >
+    max_hamming=6), with planted bit-flipped copies recovered."""
+    import duckdb
+    from pyshepseg_spark.operators.multimodal import image_near_dups
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+
+    pdf = generate_images_pdf(10, size=64, seed=11)[
+        ["image_id", "phash"]]
+    planted = pdf.head(3).copy()
+    planted["image_id"] = planted["image_id"] + "_dup"
+    # flip 3 known bits -> hamming 3 <= 6
+    planted["phash"] = planted["phash"] ^ ((1 << 3) | (1 << 21)
+                                           | (1 << 55))
+    import pandas as pd
+    table = pd.concat([pdf, planted], ignore_index=True)
+    got = image_near_dups(spark.createDataFrame(table),
+                          max_hamming=6, blocks=8) \
+        .toPandas().sort_values(["a", "b"], ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("imgs", table)
+    want = con.execute("""
+        SELECT a.image_id AS a, b.image_id AS b,
+               bit_count(xor(a.phash, b.phash)) AS hamming
+        FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ORDER BY a, b
+    """).df()
+    assert len(got) >= 3            # planted pairs present
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_image_near_dups_recompute_equals_stored(spark):
+    """recompute=True (decode + re-hash through the kernel) must
+    agree with the stored phash column on clean data."""
+    from pyshepseg_spark.operators.multimodal import image_near_dups
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    import pandas as pd
+
+    pdf = generate_images_pdf(6, size=64, seed=12)
+    dup = pdf.head(2).copy()
+    dup["image_id"] = dup["image_id"] + "_copy"   # identical bytes
+    table = pd.concat([pdf, dup], ignore_index=True)
+    df = spark.createDataFrame(table)
+    a = image_near_dups(df, max_hamming=4, blocks=8) \
+        .toPandas().sort_values(["a", "b"], ignore_index=True)
+    b = image_near_dups(df, max_hamming=4, blocks=8,
+                        recompute=True) \
+        .toPandas().sort_values(["a", "b"], ignore_index=True)
+    assert a.equals(b)
+    assert len(a) >= 2              # the exact copies (hamming 0)

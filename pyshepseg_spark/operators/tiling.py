@@ -204,6 +204,12 @@ def fit_image_centres(img, k, cfg):
     if cfg.img_null_val is not None:
         x = x[(x != cfg.img_null_val).all(axis=1)]
     npix = x.shape[0]
+    if npix == 0:
+        # fully-null image: nothing to cluster. Return trivial
+        # centres so the kernel proceeds to an all-null (zero
+        # segments, empty stats) result instead of killing the stage
+        # — at 10^12-image scale one bad row must not fail the job.
+        return np.zeros((k, nbands), dtype=np.float64)
     target = min(npix, max(npix // 100, k * 200, 2000))
     x = x[::max(1, npix // target)].astype(np.float64)
     return fit_spectral_clusters_sample(

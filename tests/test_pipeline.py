@@ -366,3 +366,27 @@ def test_single_tile_images_tiled_equals_whole_image_stats(spark):
         .toPandas().sort_values(
             ["image_id", "seg_id", "band"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_fully_null_image_degrades_gracefully(spark):
+    """One all-null image must not kill the stage (10^12-image jobs
+    WILL contain garbage rows): zero segments, empty stats, all-null
+    painted tiles, on both consumption paths."""
+    import pandas as pd
+    from pyshepseg_spark.operators.zonal import segment_stats_tiled
+    from pyshepseg_spark.sources.codec import average_phash, encode_image
+    img = np.full((3, 256, 256), 65535, dtype=np.uint16)
+    row = {"image_id": "allnull", "bytes": encode_image(img, "png"),
+           "w": 256, "h": 256, "fmt": "png", "caption": "x",
+           "phash": int(average_phash(img[0])), "num_clusters": 8}
+    images = spark.createDataFrame(pd.DataFrame([row]))
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=128, overlap=32)
+    assert segment_stats_tiled(images, cfg).count() == 0
+    final, _, _ = segment_images_tiled(images, cfg)
+    fp = final.toPandas()
+    assert len(fp) == 4
+    assert all(np.frombuffer(r.segdata, dtype="<i8").max() == 0
+               for r in fp.itertuples())
+    out = segment_images(images, cfg).collect()
+    assert out[0]["nseg"] == 0

@@ -390,3 +390,35 @@ def test_fully_null_image_degrades_gracefully(spark):
                for r in fp.itertuples())
     out = segment_images(images, cfg).collect()
     assert out[0]["nseg"] == 0
+
+
+def test_non_square_image_bitwise(spark):
+    """Rectangular rasters (3x2 tile grid) stitch bitwise-equal to
+    the reference replay — every other fixture is square."""
+    import pandas as pd
+    from pyshepseg_spark.refharness import reference_stitched_mosaic
+    from pyshepseg_spark.sources.codec import (average_phash,
+                                               encode_image)
+    from pyshepseg_spark.sources.imagegen import (NULL_MARGIN,
+                                                  make_pallete,
+                                                  paint_image,
+                                                  voronoi_truth)
+    w, h, k = 320, 200, 12
+    rng = np.random.default_rng(99)
+    margin = NULL_MARGIN + 2
+    centres = np.stack([rng.uniform(margin, w - margin, size=k),
+                        rng.uniform(margin, h - margin, size=k)],
+                       axis=1)
+    img = paint_image(voronoi_truth(w, h, centres),
+                      make_pallete(k, rng))
+    row = {"image_id": "rect", "bytes": encode_image(img, "png"),
+           "w": w, "h": h, "fmt": "png", "caption": "x",
+           "phash": int(average_phash(img[0])), "num_clusters": k}
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=128, overlap=32)
+    final, _, _ = segment_images_tiled(
+        spark.createDataFrame(pd.DataFrame([row])), cfg)
+    got = assemble_image(final.toPandas(), w, h)
+    ref = reference_stitched_mosaic(
+        decode_image(row["bytes"], "png", w, h), k, cfg)
+    assert (got == ref).all()

@@ -33,18 +33,32 @@ def _count_token(words, token):
 
 def language_id(docs, text_col="text"):
     """Heuristic language ID: score = count of per-language marker
-    tokens; argmax via greatest over struct comparisons (pure SQL)."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    tokens; argmax via greatest over struct comparisons (pure SQL).
+
+    The tokenized array is materialized ONCE into a column (25 marker
+    counters scan it; recomputing split() per counter multiplies the
+    hot loop), and the input is spread across cores first — a small
+    parquet arrives as one split, which would serialize the whole
+    scan (no-op at real scale)."""
+    from .skew import spread_small_scan
+    docs = spread_small_scan(docs)
+    wcol = "__liwords"
+    words = F.col(wcol)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
         s = sum((_count_token(words, m) for m in markers), F.lit(0))
         scores.append(F.struct(s.alias("score"),
                                F.lit(lang).alias("lang")))
     best = F.greatest(*scores)
-    return docs.withColumn(
-        "lang_pred",
-        F.when(best["score"] > 0, best["lang"]).otherwise("unknown")
-    ).withColumn("lang_score", best["score"])
+    return (docs
+            .withColumn(wcol, F.split(F.lower(F.col(text_col)),
+                                      r"\s+"))
+            .withColumn(
+                "lang_pred",
+                F.when(best["score"] > 0,
+                       best["lang"]).otherwise("unknown"))
+            .withColumn("lang_score", best["score"])
+            .drop(wcol))
 
 
 def quality_score(docs, text_col="text"):

@@ -46,6 +46,42 @@ def streaming_segment_images(spark, images_path, cfg, schema=None):
     return segment_images(stream, cfg)
 
 
+def streaming_segment_stats(spark, images_path, cfg, out_path,
+                            checkpoint_path, schema=None,
+                            percentiles=(50,), trigger_once=True):
+    """Incremental per-segment stats over an APPEND-ONLY images
+    table: file-source stream -> foreachBatch(segment_stats_tiled)
+    -> parquet append, with Structured Streaming's checkpoint giving
+    exactly-once file-level processing across restarts (a grown
+    10^12-row table re-processes only the new files).
+
+    Correctness note: every image row is self-contained (bytes +
+    dims), so the tiled pipeline — including the sequential-exact
+    stitch — is a per-row pure function; micro-batch boundaries
+    cannot split an image and the streamed union of outputs equals
+    the batch run on the full table (tested)."""
+    from ..operators.zonal import segment_stats_tiled
+    if schema is None:
+        schema = ("image_id string, bytes binary, w int, h int, "
+                  "fmt string, caption string, phash long, "
+                  "num_clusters long")
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (segment_stats_tiled(batch_df, cfg, percentiles=percentiles)
+         .write.mode("append").parquet(out_path))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(images_path))
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_path))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def segment_completion_stream(partials):
     """Streaming per-segment stat completion.
 

@@ -264,3 +264,51 @@ def test_image_near_dups_recompute_equals_stored(spark):
         .toPandas().sort_values(["a", "b"], ignore_index=True)
     assert a.equals(b)
     assert len(a) >= 2              # the exact copies (hamming 0)
+
+
+def test_streaming_segment_stats_incremental_exactly_once(spark,
+                                                          tmp_path):
+    """Append-only images table -> incremental stats: first stream
+    run processes files 1-2, a SECOND run after appending file 3
+    resumes from the checkpoint and processes ONLY the new file; the
+    accumulated output equals the batch run over the full table (no
+    duplicates, nothing missed)."""
+    import pandas as pd
+    from pyshepseg_spark.operators.segment import SegConfig
+    from pyshepseg_spark.operators.zonal import segment_stats_tiled
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    from pyshepseg_spark.streaming.stateful import (
+        streaming_segment_stats)
+
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=64, overlap=16)
+    pdf = generate_images_pdf(6, size=96, seed=21)
+    pdf["num_clusters"] = [int(c.split(": ")[1].split()[0])
+                           for c in pdf["caption"]]
+    src = str(tmp_path / "images")
+    out = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    cols = list(pdf.columns)
+    for i, chunk in enumerate([pdf.iloc[:2], pdf.iloc[2:4]]):
+        spark.createDataFrame(chunk[cols]).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    q = streaming_segment_stats(spark, src, cfg, out, ckpt)
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # append two more images, resume from checkpoint
+    spark.createDataFrame(pdf.iloc[4:6][cols]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = streaming_segment_stats(spark, src, cfg, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas().sort_values(
+        ["image_id", "seg_id", "band"], ignore_index=True)
+    want = segment_stats_tiled(
+        spark.createDataFrame(pdf[cols]), cfg).toPandas().sort_values(
+        ["image_id", "seg_id", "band"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1),
+        want.reindex(sorted(want.columns), axis=1))

@@ -422,3 +422,44 @@ def test_non_square_image_bitwise(spark):
     ref = reference_stitched_mosaic(
         decode_image(row["bytes"], "png", w, h), k, cfg)
     assert (got == ref).all()
+
+
+def test_tall_mosaic_streams_across_arrow_batches(spark):
+    """The sequential stitch keeps its rolling cache across Arrow
+    batch boundaries: force tiny batches (4 tile rows each) on a
+    2x12-tile tall mosaic and require bitwise equality with the
+    reference replay."""
+    import pandas as pd
+    from pyshepseg_spark.refharness import reference_stitched_mosaic
+    from pyshepseg_spark.sources.codec import (average_phash,
+                                               encode_image)
+    from pyshepseg_spark.sources.imagegen import (NULL_MARGIN,
+                                                  make_pallete,
+                                                  paint_image,
+                                                  voronoi_truth)
+    w, h, k = 224, 1184, 16      # tile 128 / overlap 32 -> 2 x 12
+    rng = np.random.default_rng(123)
+    margin = NULL_MARGIN + 2
+    centres = np.stack([rng.uniform(margin, w - margin, size=k),
+                        rng.uniform(margin, h - margin, size=k)],
+                       axis=1)
+    img = paint_image(voronoi_truth(w, h, centres),
+                      make_pallete(k, rng))
+    row = {"image_id": "tall", "bytes": encode_image(img, "png"),
+           "w": w, "h": h, "fmt": "png", "caption": "x",
+           "phash": int(average_phash(img[0])), "num_clusters": k}
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=128, overlap=32)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        final, _, _ = segment_images_tiled(
+            spark.createDataFrame(pd.DataFrame([row])), cfg)
+        got = assemble_image(final.toPandas(), w, h)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    ref = reference_stitched_mosaic(
+        decode_image(row["bytes"], "png", w, h), k, cfg)
+    assert (got == ref).all()

@@ -312,3 +312,42 @@ def test_streaming_segment_stats_incremental_exactly_once(spark,
     pd.testing.assert_frame_equal(
         got.reindex(sorted(got.columns), axis=1),
         want.reindex(sorted(want.columns), axis=1))
+
+
+def test_stats_from_restored_binary_checkpoint(spark, tmp_path):
+    """Resume scenario for the stats consumer: a durable S6
+    checkpoint (parquet of kernel rows WITH pixel/segtile binaries,
+    written by a raster-producing run) is read back cold and fed to
+    stats_histogram_from_stitch — the histogram must equal the
+    primary kernel-histogram path bit for bit."""
+    import pandas as pd
+    from pyshepseg_spark.operators.segment import (
+        SegConfig, checkpoint_with_meta, explode_and_segment,
+        sequential_stitch_mapping)
+    from pyshepseg_spark.operators.zonal import (
+        segment_stats, segment_stats_tiled,
+        stats_histogram_from_stitch)
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=64, overlap=16)
+    pdf = generate_images_pdf(3, size=96, seed=31)
+    pdf["num_clusters"] = [int(c.split(": ")[1].split()[0])
+                           for c in pdf["caption"]]
+    images = spark.createDataFrame(pdf)
+
+    ckpt = str(tmp_path / "seg_tiles")
+    explode_and_segment(images, cfg).write.parquet(ckpt)
+
+    restored = spark.read.parquet(ckpt)
+    st, meta = checkpoint_with_meta(restored)
+    mapping = sequential_stitch_mapping(meta, cfg.overlap)
+    hist = stats_histogram_from_stitch(st, mapping, cfg.overlap,
+                                       img_null_val=65535)
+    got = segment_stats(hist, percentiles=(50,)).toPandas() \
+        .sort_values(["image_id", "seg_id", "band"],
+                     ignore_index=True)
+    want = segment_stats_tiled(images, cfg, percentiles=(50,)) \
+        .toPandas().sort_values(["image_id", "seg_id", "band"],
+                                ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)

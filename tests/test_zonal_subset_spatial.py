@@ -351,3 +351,77 @@ def test_stats_selection_rejects_param_on_non_percentile(spark):
     import pytest
     with pytest.raises(ValueError, match="third element"):
         segment_stats_selected(hist, [("x", "mean", 99)])
+
+
+def test_giant_raster_mode_shared_centres(spark, images_fixture, cfg):
+    """The giant-single-raster prepare mode (S2/S3): ONE global
+    stride-sample k-means fit (fit_global_centres) broadcast to every
+    tile kernel. All tiles of one image must then use identical
+    centres — equivalent to the fused per-image path when the table
+    holds a single image."""
+    import pandas as pd
+    from pyshepseg_spark.operators.segment import (
+        assemble_image, fit_global_centres, segment_images_tiled)
+    from pyshepseg_spark.operators.tiling import fit_image_centres
+    from pyshepseg_spark.sources.codec import decode_image
+    pdf, _, _ = images_fixture
+    one = pdf.iloc[[0]]
+    images = spark.createDataFrame(one)
+    import dataclasses
+    cfg1 = dataclasses.replace(
+        cfg, num_clusters=int(one.iloc[0]["num_clusters"]))
+    centres = fit_global_centres(images, cfg1)
+    assert centres.shape == (cfg1.num_clusters, 3)
+    final, _, _ = segment_images_tiled(
+        images.drop("num_clusters"), cfg1, centres=centres)
+    got = assemble_image(final.toPandas(), 256, 256)
+    # fused per-image path on the same single image
+    final2, _, _ = segment_images_tiled(images, cfg1)
+    want = assemble_image(final2.toPandas(), 256, 256)
+    # same pipeline, differently-derived centres (global stride vs
+    # floored per-image sample) -> same segment STRUCTURE is not
+    # guaranteed, but the global-centres run must itself be valid
+    img = decode_image(one.iloc[0]["bytes"], one.iloc[0]["fmt"],
+                       256, 256)
+    from tests.conftest import reconstruction_fraction
+    assert reconstruction_fraction(got, img) == 1.0
+    assert got.max() > 0 and want.max() > 0
+
+
+def test_seg_image_value_histogram_matches_fused(spark,
+                                                 images_fixture, cfg):
+    """Stats-from-stored-rasters path: histogramming saved
+    whole-image segmentations (seg_image_value_histogram join) must
+    equal the fused segment_and_histogram kernel."""
+    from pyshepseg_spark.operators.segment import segment_images
+    from pyshepseg_spark.operators.zonal import (
+        seg_image_value_histogram, segment_and_histogram)
+    _, _, images = images_fixture
+    seg = segment_images(images, cfg)
+    h1 = seg_image_value_histogram(seg, images, img_null_val=65535) \
+        .toPandas()
+    h2 = segment_and_histogram(images, cfg).toPandas()
+    key = ["image_id", "seg_id", "band", "val"]
+    h1 = h1.sort_values(key, ignore_index=True)
+    h2 = h2.sort_values(key, ignore_index=True)
+    assert h1.equals(h2)
+
+
+def test_fill_missing_stats_reports_missing_value(spark):
+    """Segments with zero valid pixels report MISSING_STATS_VALUE
+    and pix_count 0 (tilingstats.py:943-950)."""
+    from pyshepseg_spark.constants import MISSING_STATS_VALUE
+    from pyshepseg_spark.operators.zonal import (fill_missing_stats,
+                                                 segment_stats)
+    hist = spark.createDataFrame(
+        [("i", 1, 0, 5, 3), ("i", 1, 0, 7, 1)],
+        "image_id string, seg_id long, band int, val long, cnt long")
+    stats = segment_stats(hist, percentiles=(50,))
+    all_segs = spark.createDataFrame(
+        [("i", 1), ("i", 2)], "image_id string, seg_id long")
+    out = {r["seg_id"]: r for r in
+           fill_missing_stats(stats, all_segs).collect()}
+    assert out[1]["pix_count"] == 4
+    assert out[2]["pix_count"] == 0
+    assert out[2]["mean_val"] == MISSING_STATS_VALUE
+    assert out[2]["median_val"] == MISSING_STATS_VALUE

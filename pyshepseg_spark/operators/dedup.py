@@ -59,19 +59,29 @@ def minhash_coeffs(num_hashes=32, seed=42):
 def minhash_signatures_md5(docs, text_col="text", id_col="doc_id",
                            num_hashes=32, k=5, seed=42):
     """Oracle-able MinHash signatures: md5-28bit shingles, exact
-    (a*h+b) % P31 minima — entirely JVM expressions (array_min over
-    transform), whole-stage codegen, no Python in the hot path."""
+    (a*h+b) % P31 minima — entirely JVM expressions, no Python in
+    the hot path. ONE pass over the shingle array: the aggregate's
+    accumulator is the ``num_hashes`` running-minimum vector (the
+    previous form ran num_hashes independent transform+array_min
+    scans). Bit-identical minima: every hash value is < P31, so the
+    P31 initial accumulator never survives a non-empty array (and
+    shingles_md5 always emits >= 1 shingle for non-null text)."""
     from .skew import spread_small_scan
     coeffs = minhash_coeffs(num_hashes, seed)
     docs = spread_small_scan(docs)
     with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
-
-    def affine(a, b):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(P31)
-
-    mins = [F.array_min(F.transform(F.col("sh"), affine(a, b)))
-            for a, b in coeffs]
-    return with_sh.select(id_col, F.array(*mins).alias("minhash"))
+    a_arr = "array(" + ",".join(f"{a}L" for a, _ in coeffs) + ")"
+    b_arr = "array(" + ",".join(f"{b}L" for _, b in coeffs) + ")"
+    mh = F.expr(f"""
+      aggregate(sh,
+                array_repeat({P31}L, {num_hashes}),
+                (acc, x) -> zip_with(acc,
+                    sequence(0, {num_hashes - 1}),
+                    (m, i) -> least(m,
+                        (x * element_at({a_arr}, i + 1)
+                         + element_at({b_arr}, i + 1)) % {P31}L)))
+    """)
+    return with_sh.select(id_col, mh.alias("minhash"))
 
 
 def simhash_md5(docs, text_col="text", id_col="doc_id", k=3,

@@ -1,34 +1,37 @@
-"""Distributed Shepherd segmentation: per-tile kernels + strip-join
-stitch + connected-components relabel.
+"""Distributed Shepherd segmentation: per-tile kernels + boundary-
+strip stitch.
 
 Spark-first re-expression of the reference's tiled pipeline
 (/root/reference/pyshepseg/tiling.py:446-1064):
 
-  prepare   driver fits k-means once on a global stride sample and
-            broadcasts the centre matrix (cross-tile consistency
-            device, tiling.py:13-16)
+  prepare   per-image (or global-sample) k-means centres — the
+            cross-tile consistency device (tiling.py:13-16); fused
+            into the tile kernel by default
   doOne     per-tile segmentation, mapInPandas — one row per tile, no
             shuffle, embarrassingly parallel (tiling.py worker loop)
-  stitch    the reference's sequential row-major recode
-            (tiling.py:950-1064) is replaced by an order-independent
-            equivalent: a bounded-neighbour equi-join of overlap
-            strips (each tile joins <= 2 predecessors, SURVEY.md J1),
-            per-pair mode-correspondence edges, and a label-
-            propagation connected-components fixpoint (J2) followed
-            by a deterministic dense relabel (W2). Same final pixel
-            partition, order-independent => parallel.
+  stitch    DEFAULT mode="sequential": EXACT replay of the
+            reference's order-dependent recode recurrence
+            (stitchTiles/recodeTile/relabelSegments,
+            tiling.py:950-1306) over boundary strips only —
+            sequential_stitch_mapping streams each image's tiles
+            row-major with a one-tile-row rolling cache, parallel
+            across images, bitwise-equal mosaics on every input.
+            mode="cc": the order-independent alternative (strip
+            equi-join -> mode edges -> connected-components ->
+            dense relabel) for intra-image parallelism on single
+            giant mosaics.
 
 Segment IDs: per-image int64 ("gid" = per-tile prefix-sum offset +
 local id). uint32 would overflow at 10^12-image scale (SURVEY.md §7
 hard part 4); global uniqueness is the composite (image_id, seg_id).
 
-Deliberate deviation (documented): the reference recodes a crossing
-segment to the mode of the neighbour's *already recoded* strip and so
-depends on stitch order; we compute modes on raw local labels and
-take the transitive closure. Results agree up to canonical relabel
-except in the pathological case where a neighbour's strip is majority
-null (reference recodes the segment to null; we keep it), which the
-fixture never produces and the empty-segment check (S10) would flag.
+Documented deviation in mode="cc" ONLY: the reference recodes a
+crossing segment to the mode of the neighbour's *already recoded*
+strip, lets left-overlap recodes overwrite top-overlap ones, and can
+recode a segment to null — order-dependent effects the transitive
+closure over raw-label modes resolves differently on chained
+boundary segments (observed on the flagship fixture; the sequential
+default reproduces them all exactly).
 """
 
 from __future__ import annotations
@@ -352,9 +355,10 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
             "centres", F.lit(bytearray(centres.astype(
                 "<f8").tobytes())))
     else:
+        # per-image centres: one row per image (unbounded at scale)
+        # — AQE broadcasts when small
         tiles_df = tiles_df.join(
-            F.broadcast(centres.select("image_id", "centres")),
-            "image_id")
+            centres.select("image_id", "centres"), "image_id")
 
     def kernel(batches):
         for pdf in batches:
@@ -1042,7 +1046,7 @@ def segment_images(images_df, cfg: SegConfig, centres=None):
         ["num_clusters"] if has_k else [])
     df = images_df.select(*cols)
     if centres is not None and not isinstance(centres, np.ndarray):
-        df = df.join(F.broadcast(centres.select("image_id", "centres")),
+        df = df.join(centres.select("image_id", "centres"),
                      "image_id")
 
     def kernel(batches):

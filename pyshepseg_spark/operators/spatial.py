@@ -69,7 +69,10 @@ def point_in_segment(points, final_tiles, tile_size, overlap,
     grids = final_tiles.groupBy("image_id").agg(
         (F.max("tcol") + 1).alias("ntc"),
         (F.max("trow") + 1).alias("ntr"))
-    p = points.join(F.broadcast(grids), "image_id")
+    # no forced broadcast: grids is one row PER IMAGE — at 10^12
+    # images a forced broadcast is a driver OOM; AQE broadcasts it
+    # when genuinely small
+    p = points.join(grids, "image_id")
     tc, tr = tile_for_point("x", "y", tile_size, overlap,
                             F.col("ntc"), F.col("ntr"))
     p = (p.withColumn("tcol", tc).withColumn("trow", tr)
@@ -242,7 +245,9 @@ def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
     # shuffled exactly once (ReusedExchange for both consumers)
     wpt = Window.partitionBy(*pkey)
     bound2 = (ring * cell_size) ** 2
-    cand = (p.join(F.broadcast(s), g + ["cellx", "celly"])
+    # sites scale with the site table (segment centroids at
+    # 10^12-image scale): let AQE pick broadcast vs shuffle
+    cand = (p.join(s, g + ["cellx", "celly"])
             .withColumn("d2", d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -252,13 +257,14 @@ def knn_points_exact(points, sites, k: int = 3, cell_size: int = 64,
     # fallback: provable-exactness failed (or zero candidates) ->
     # full broadcast join for the affected points only
     ok = exact.select(*pkey).distinct()
-    fb_pts = p.join(F.broadcast(ok), pkey, "left_anti")
+    # ok scales with POINT count — never force-broadcast it
+    fb_pts = p.join(ok, pkey, "left_anti")
     s_all = sites.select(*g, F.col(s_id).alias("site_id"),
                          F.col(sx).alias("sx"), F.col(sy).alias("sy"))
     if g:
-        fb = fb_pts.join(F.broadcast(s_all), g)
+        fb = fb_pts.join(s_all, g)
     else:
-        fb = fb_pts.crossJoin(F.broadcast(s_all))
+        fb = fb_pts.crossJoin(s_all)
     fb = (fb.withColumn("d2", d2)
           .withColumn("rank", F.row_number().over(w))
           .filter(F.col("rank") <= k))

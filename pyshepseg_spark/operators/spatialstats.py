@@ -151,7 +151,9 @@ def edge_pixels_tiled(final_tiles, four_connected: bool = True):
         F.max(F.col("yout") + F.col("out_ysize")).alias("img_h"))
     j = (final_tiles.select("image_id", "xout", "yout", "out_xsize",
                             "out_ysize", "segdata")
-         .join(F.broadcast(dims), "image_id"))
+         # no forced broadcast: dims is one row per image (AQE
+         # broadcasts when actually small)
+         .join(dims, "image_id"))
 
     part_schema = ("image_id string, kind string, seg_id long, "
                    "cnt long, x int, y int, nx int, ny int")

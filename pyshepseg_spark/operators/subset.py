@@ -140,7 +140,10 @@ def subset_segmentation(final_tiles, x0, y0, xs, ys, mask_fn=None):
     mlist = (mapping.groupBy("image_id")
              .agg(F.collect_list(F.struct("orig_val",
                                           "new_id")).alias("m")))
-    joined = pieces.join(F.broadcast(mlist), "image_id", "left")
+    # mlist is one row per subset image (mapping structs inside);
+    # AQE broadcasts when small — a giant-mosaic subset must not
+    # be forced through the driver
+    joined = pieces.join(mlist, "image_id", "left")
 
     def kernel(batches):
         for pdf in batches:

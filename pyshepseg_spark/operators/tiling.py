@@ -120,7 +120,9 @@ def overview_pyramid_tiles(final_tiles, final_out_size: int = 1024):
     j = (final_tiles.select("image_id", "tcol", "trow", "xout",
                             "yout", "out_xsize", "out_ysize",
                             "segdata")
-         .join(F.broadcast(dims), "image_id"))
+         # no forced broadcast: dims has one row PER IMAGE — tiny
+         # here, unbounded at 10^12 images; AQE broadcasts when small
+         .join(dims, "image_id"))
     cols = ["image_id", "level", "tcol", "trow", "xout", "yout",
             "out_xsize", "out_ysize", "segdata"]
 

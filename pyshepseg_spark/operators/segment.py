@@ -65,6 +65,11 @@ class SegConfig:
     # inertia kept), seeded for reproducibility here.
     fixed_kmeans_init: bool = True
     kmeans_n_init: int = 5
+    # "fail" (default): a corrupt/undecodable image row raises, like
+    # the reference. "skip": the kernel drops the row (it yields no
+    # tiles / stats / raster) — at 10^12-image scale garbage rows
+    # exist and must not kill the stage.
+    on_decode_error: str = "fail"
     spect_dist_pcntile: int = 50
     max_clump_size: int = MAX_CLUMP_SIZE
     tile_size: int = 256
@@ -303,7 +308,13 @@ def explode_and_segment(images_df, cfg: SegConfig,
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                try:
+                    img = decode_image(row.bytes, row.fmt,
+                                       row.w, row.h)
+                except Exception:
+                    if cfg.on_decode_error == "skip":
+                        continue
+                    raise
                 k = int(getattr(row, "num_clusters",
                                 cfg.num_clusters)
                         or cfg.num_clusters) if has_k \
@@ -1056,7 +1067,13 @@ def segment_images(images_df, cfg: SegConfig, centres=None):
             out = []
             for row in pdf.itertuples(index=False):
                 t0 = time.time()
-                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                try:
+                    img = decode_image(row.bytes, row.fmt,
+                                       row.w, row.h)
+                except Exception:
+                    if cfg_b.on_decode_error == "skip":
+                        continue
+                    raise
                 k = int(getattr(row, "num_clusters",
                                 cfg_b.num_clusters)
                         or cfg_b.num_clusters)

@@ -281,7 +281,14 @@ def segment_and_histogram(images_df, cfg):
             frames = []
             for row in pdf.itertuples(index=False):
                 t0 = _time.time()
-                img = decode_image(row.bytes, row.fmt, row.w, row.h)
+                try:
+                    img = decode_image(row.bytes, row.fmt,
+                                       row.w, row.h)
+                except Exception:
+                    if getattr(cfg_b, "on_decode_error",
+                               "fail") == "skip":
+                        continue
+                    raise
                 k = int(getattr(row, "num_clusters",
                                 cfg_b.num_clusters)
                         or cfg_b.num_clusters)

@@ -463,3 +463,32 @@ def test_tall_mosaic_streams_across_arrow_batches(spark):
     ref = reference_stitched_mosaic(
         decode_image(row["bytes"], "png", w, h), k, cfg)
     assert (got == ref).all()
+
+
+def test_corrupt_image_row_skippable(spark):
+    """A corrupt bytes row with cfg.on_decode_error='skip' drops out
+    of every consumption path instead of killing the stage; the
+    default ('fail') still raises, matching the reference."""
+    import dataclasses
+    import pandas as pd
+    import pytest
+    from pyshepseg_spark.operators.zonal import segment_stats_tiled
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    pdf = generate_images_pdf(2, size=96, seed=41)
+    pdf["num_clusters"] = [int(c.split(": ")[1].split()[0])
+                           for c in pdf["caption"]]
+    bad = pdf.iloc[[0]].copy()
+    bad["image_id"] = "corrupt"
+    bad["bytes"] = [b"not a png at all"]
+    table = pd.concat([pdf, bad], ignore_index=True)
+    images = spark.createDataFrame(table)
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=64, overlap=16)
+    with pytest.raises(Exception):
+        segment_stats_tiled(images, cfg).count()
+    cfg_skip = dataclasses.replace(cfg, on_decode_error="skip")
+    out = segment_stats_tiled(images, cfg_skip, percentiles=(50,)) \
+        .toPandas()
+    assert set(out["image_id"]) == set(pdf["image_id"])
+    segs = segment_images(images, cfg_skip).toPandas()
+    assert set(segs["image_id"]) == set(pdf["image_id"])

@@ -139,6 +139,34 @@ def image_near_dups(images_df, max_hamming: int = 6,
                              blocks=blocks, hash_bits=64)
 
 
+def multimodal_near_dups(images_df, max_phash_hamming: int = 6,
+                         max_caption_hamming: int = 3,
+                         phash_blocks: int = 8,
+                         caption_blocks: int = 4):
+    """Cross-modal near-duplicate pairs over the image+caption table:
+    a pair qualifies when BOTH the perceptual hashes are within
+    ``max_phash_hamming`` AND the caption SimHashes are within
+    ``max_caption_hamming`` — visually-near crops with rewritten
+    captions, or caption-duplicates with different imagery, do NOT
+    qualify. Both sides are pigeonhole-blocked Hamming joins (full
+    recall guarantees), intersected on the (a, b) pair key — the
+    shuffle carries two candidate pair lists, never all pairs."""
+    from ..operators.dedup import simhash_md5, simhash_near_dups
+
+    img_pairs = image_near_dups(images_df,
+                                max_hamming=max_phash_hamming,
+                                blocks=phash_blocks) \
+        .withColumnRenamed("hamming", "phash_hamming")
+    cap = simhash_md5(images_df, text_col="caption",
+                      id_col="image_id")
+    cap_pairs = simhash_near_dups(cap, id_col="image_id",
+                                  max_hamming=max_caption_hamming,
+                                  blocks=caption_blocks,
+                                  hash_bits=28) \
+        .withColumnRenamed("hamming", "caption_hamming")
+    return img_pairs.join(cap_pairs, ["a", "b"])
+
+
 def audio_features(audio_df, fake: bool = True):
     """STUB: audio decode. No audio codec library exists in this
     container; with fake=True a deterministic fake derives features

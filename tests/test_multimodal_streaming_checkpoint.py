@@ -351,3 +351,59 @@ def test_stats_from_restored_binary_checkpoint(spark, tmp_path):
         .toPandas().sort_values(["image_id", "seg_id", "band"],
                                 ignore_index=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_multimodal_near_dups_joint_condition(spark):
+    """Cross-modal dedup: only pairs close in BOTH phash and
+    caption simhash qualify — checked against DuckDB's quadratic
+    joint Hamming join, with three planted cases: joint dup (in),
+    image-only dup (out), caption-only dup (out)."""
+    import duckdb
+    import pandas as pd
+    from pyshepseg_spark.operators.dedup import simhash_md5
+    from pyshepseg_spark.operators.multimodal import (
+        multimodal_near_dups)
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+
+    pdf = generate_images_pdf(8, size=64, seed=13)
+    base = pdf.iloc[[0]]
+    joint = base.copy()        # same caption, phash 2-bit flip
+    joint["image_id"] = "joint_dup"
+    joint["phash"] = joint["phash"] ^ 0b101
+    imgonly = base.copy()      # near phash, unrelated caption
+    imgonly["image_id"] = "img_only"
+    imgonly["phash"] = imgonly["phash"] ^ 0b11
+    imgonly["caption"] = "completely different words entirely " \
+        "nothing shared with anything here at all truly"
+    caponly = base.copy()      # same caption, far phash
+    caponly["image_id"] = "cap_only"
+    caponly["phash"] = ~caponly["phash"]
+    table = pd.concat([pdf, joint, imgonly, caponly],
+                      ignore_index=True)
+    df = spark.createDataFrame(table)
+    got = multimodal_near_dups(df).toPandas() \
+        .sort_values(["a", "b"], ignore_index=True)
+
+    # DuckDB ground truth: quadratic joint condition using the
+    # engine's own caption simhashes (cross-engine-replayable md5
+    # path) and the stored phash
+    cap = simhash_md5(df, text_col="caption",
+                      id_col="image_id").toPandas()
+    con = duckdb.connect()
+    con.register("t", table.merge(cap, on="image_id"))
+    want = con.execute("""
+        SELECT a.image_id AS a, b.image_id AS b,
+               bit_count(xor(a.phash, b.phash)) AS phash_hamming,
+               bit_count(xor(a.simhash, b.simhash))
+                   AS caption_hamming
+        FROM t a JOIN t b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY a, b
+    """).df()
+    pairs = set(zip(got["a"], got["b"]))
+    assert ("img_000000", "joint_dup") in pairs
+    assert not any("img_only" in p for pair in pairs for p in pair)
+    assert not any("cap_only" in p for pair in pairs for p in pair)
+    pd.testing.assert_frame_equal(
+        got, want.reset_index(drop=True), check_dtype=False)

@@ -43,17 +43,15 @@ def main():
 
     t0 = time.time()
     if args.query == "flagship":
-        from pyshepseg_spark.operators.segment import (
-            SegConfig, segment_images_tiled)
-        from pyshepseg_spark.operators.zonal import (
-            segment_stats, tile_value_histogram)
+        from pyshepseg_spark.operators.segment import SegConfig
+        from pyshepseg_spark.operators.zonal import segment_stats_tiled
         from pyshepseg_spark.sources.imagegen import images_spark_df
         cfg = SegConfig(img_null_val=65535, four_connected=False,
                         tile_size=256, overlap=64)
         images = images_spark_df(spark, args.n_images, size=512)
-        final, _, _ = segment_images_tiled(images, cfg)
-        hist = tile_value_histogram(final, img_null_val=65535)
-        out = segment_stats(hist, percentiles=(50,))
+        # one-linear-job stats path (kernel histograms remapped
+        # inside the sequential-exact stitch)
+        out = segment_stats_tiled(images, cfg, percentiles=(50,))
     else:
         import importlib
         entry = importlib.import_module("__spark_entry__")

@@ -87,28 +87,33 @@ def minhash_signatures_md5(docs, text_col="text", id_col="doc_id",
 def simhash_md5(docs, text_col="text", id_col="doc_id", k=3,
                 hash_bits=28):
     """Oracle-able 28-bit SimHash: per bit position, the sign of
-    sum(+-1) over shingle-hash bits. JVM-side, ONE pass over the
-    shingle array: the aggregate's accumulator is the 28-element
-    counter vector, updated via an indexed transform (the previous
-    form ran 28 independent aggregates — 28 scans of every array).
-    Bit-identical output (integer arithmetic, order-independent)."""
+    sum(+-1) over shingle-hash bits. JVM-side: one scalar
+    long-accumulator fold per bit over the shingle array, which is
+    materialized once and shared by all 28 bit expressions.
+
+    PERF NOTE (round-3 lesson, BENCH_r03 + PERF.md §one-pass-A/B):
+    collapsing the 28 folds into ONE aggregate whose accumulator is
+    a 28-element array rebuilt via a nested ``transform`` per
+    shingle was a measured 6.6x regression (simhash_near_dups
+    3.07 s -> 20.26 s at sf0.1) — Catalyst higher-order functions
+    run interpreted, so the array accumulator allocates and
+    re-evaluates 28 lambdas per shingle, while N independent scalar
+    folds stay cheap long accumulations. Keep the scalar form."""
     from .skew import spread_small_scan
     docs = spread_small_scan(docs)
     with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
-    b = hash_bits
-    word = F.expr(f"""
-      aggregate(
-        zip_with(
-          aggregate(sh,
-                    array_repeat(0L, {b}),
-                    (acc, x) -> transform(
-                        acc, (a, i) -> a + (shiftright(x, i) & 1L)
-                                       * 2 - 1)),
-          sequence(0, {b - 1}),
-          (v, bp) -> IF(v > 0, shiftleft(1L, bp), 0L)),
-        0L, (a, v) -> a + v)
-    """)
-    return with_sh.select(id_col, word.alias("simhash"))
+
+    def bitsum(bp):
+        return lambda acc, x: acc + (
+            F.shiftright(x, bp).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    word = None
+    for bp in range(hash_bits):
+        v = F.aggregate(F.col("sh"), F.lit(0).cast("long"),
+                        bitsum(bp))
+        bit = F.when(v > 0, F.lit(1 << bp)).otherwise(F.lit(0))
+        word = bit if word is None else word + bit
+    return with_sh.select(id_col, word.cast("long").alias("simhash"))
 
 
 def normalized_text(col):

@@ -388,14 +388,35 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
     return tiles_df.mapInPandas(kernel, SEG_TILE_SCHEMA)
 
 
-def with_offsets(seg_tiles):
+def tile_offsets(seg_tiles):
     """Per-image prefix sum of local segment counts in row-major tile
-    order (W2: ordered window prefix sum replaces the reference's
-    running maxSegId, tiling.py:979-1043)."""
+    order, computed over the NARROW (image_id, tcol, trow, nseg)
+    projection only (W2: ordered window prefix sum replaces the
+    reference's running maxSegId, tiling.py:979-1043). Keeping the
+    window off the pixel/segtile binaries matters at scale: a
+    per-image window over the fat kernel rows forces every tile of
+    an image — pixels included — through ONE task's sort, an
+    O(image pixels) single-task stage for a giant mosaic. Over
+    ~20-byte rows the same window is O(tiles)."""
     w = (Window.partitionBy("image_id").orderBy("trow", "tcol")
          .rowsBetween(Window.unboundedPreceding, -1))
-    return seg_tiles.withColumn(
-        "offset", F.coalesce(F.sum("nseg").over(w), F.lit(0)))
+    return seg_tiles.select(
+        "image_id", "tcol", "trow",
+        F.coalesce(F.sum("nseg").over(w), F.lit(0)).alias("offset"))
+
+
+def with_offsets(seg_tiles):
+    """Fat rows + their W2 offsets: narrow-window prefix sum joined
+    back by tile key. AQE broadcasts the narrow offsets side when it
+    is small (the common case — no shuffle of the fat rows at all);
+    at giant-mosaic scale it degrades to a distributed hash join on
+    the tile key, never a single-task sort of pixel rows. NOTE: the
+    input plan is evaluated twice (once per join side) — call on a
+    checkpointed or cheap-to-recompute frame (checkpoint_with_meta
+    checkpoints first for exactly this reason)."""
+    offs = tile_offsets(seg_tiles.select(
+        "image_id", "tcol", "trow", "nseg"))
+    return seg_tiles.join(offs, ["image_id", "tcol", "trow"])
 
 
 META_COLS = ["image_id", "tcol", "trow", "ntcols", "ntrows", "xpos",
@@ -412,7 +433,11 @@ def checkpoint_with_meta(seg_tiles):
     pixel/segtile binaries (four full scans); with it the fat rows
     are scanned exactly twice — once to build the metadata, once by
     the final paint/histogram pass."""
-    st = with_offsets(seg_tiles).localCheckpoint()
+    st0 = seg_tiles.localCheckpoint()
+    # offsets AFTER the checkpoint: the narrow window + join-back
+    # read the materialized blocks, never re-running the kernel, and
+    # no window task ever sorts rows carrying pixels/segtile
+    st = with_offsets(st0)
     # lazy: the narrow scan folds into the first consumer's job
     # instead of adding a serial materialization barrier
     meta = st.select(*[c for c in META_COLS if c in st.columns]) \
@@ -1127,7 +1152,7 @@ def assemble_image(final_tiles_pdf: pd.DataFrame, w: int, h: int):
 
 
 __all__ = ["SegConfig", "fit_global_centres", "segment_tiles",
-           "with_offsets", "extract_strips", "correspondence_edges",
+           "with_offsets", "tile_offsets", "extract_strips", "correspondence_edges",
            "connected_components", "build_mapping",
            "sequential_stitch_mapping",
            "paint_final_tiles", "segment_images_tiled", "stitch",

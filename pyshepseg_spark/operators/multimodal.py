@@ -94,7 +94,9 @@ AUDIO_FEATURES_SCHEMA = ("media_id string, n_samples long, "
 
 def image_near_dups(images_df, max_hamming: int = 6,
                     blocks: int = 8, id_col="image_id",
-                    phash_col="phash", recompute: bool = False):
+                    phash_col="phash", recompute: bool = False,
+                    img_null_val: int | None = None,
+                    on_decode_error: str = "fail"):
     """Image-level near-duplicate pairs over the image+caption table
     via the 64-bit perceptual hash (``phash`` column, input_hint
     schema; sources/codec.py average_phash): pigeonhole-blocked
@@ -106,9 +108,19 @@ def image_near_dups(images_df, max_hamming: int = 6,
 
     recompute=True re-derives the hash from the bytes column through
     the decode kernel (image_features-style mapInPandas) instead of
-    trusting the stored column — the ingest-validation mode."""
+    trusting the stored column — the ingest-validation mode.
+    img_null_val masks nodata out of the recomputed hash (must match
+    whatever the stored column used). on_decode_error: "fail"
+    (default) raises on a corrupt bytes row like the reference;
+    "skip" drops the row — the untrusted-ingest setting, where one
+    garbage blob must not kill the stage (mirrors
+    SegConfig.on_decode_error)."""
     from ..operators.dedup import simhash_near_dups
 
+    if on_decode_error not in ("fail", "skip"):
+        raise ValueError(
+            f"on_decode_error must be 'fail' or 'skip', "
+            f"got {on_decode_error!r}")
     if recompute:
         from ..sources.codec import decode_image
         from pyspark.sql import functions as F
@@ -118,10 +130,16 @@ def image_near_dups(images_df, max_hamming: int = 6,
             for pdf in batches:
                 out = []
                 for row in pdf.itertuples(index=False):
-                    img = decode_image(row.bytes, row.fmt, row.w,
-                                       row.h)
+                    try:
+                        img = decode_image(row.bytes, row.fmt,
+                                           row.w, row.h)
+                    except Exception:
+                        if on_decode_error == "skip":
+                            continue
+                        raise
                     out.append({"image_id": row.image_id,
-                                "phash": int(average_phash(img[0]))})
+                                "phash": int(average_phash(
+                                    img[0], img_null_val))})
                 yield pd.DataFrame(
                     out, columns=["image_id", "phash"])
 

@@ -123,15 +123,34 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def average_phash(band: np.ndarray) -> int:
+def average_phash(band: np.ndarray, null_val: int | None = None) -> int:
     """Deterministic 64-bit average hash of one band (8x8 block mean,
     threshold at the global mean of the downsample). Returns a signed
-    int64 (two's complement) for the table's ``phash`` column."""
+    int64 (two's complement) for the table's ``phash`` column.
+
+    null_val: nodata value excluded from every block mean (raster
+    imagery carries null margins/masks; hashing them verbatim makes
+    the nodata FOOTPRINT dominate the 64 bits — with a uniform
+    margin every image degenerates to the same border-mask hash,
+    observed on the round-4 fixture). All-null blocks hash to 0 and
+    are excluded from the threshold."""
     h, w = band.shape
     hh, ww = (h // 8) * 8, (w // 8) * 8
     blk = band[:hh, :ww].astype(np.float64)
-    small = blk.reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
-    bits = (small > small.mean()).ravel()
+    parts = blk.reshape(8, hh // 8, 8, ww // 8)
+    if null_val is None:
+        small = parts.mean(axis=(1, 3))
+        thresh = small.mean()
+        bits = (small > thresh).ravel()
+    else:
+        valid = band[:hh, :ww].reshape(
+            8, hh // 8, 8, ww // 8) != null_val
+        cnt = valid.sum(axis=(1, 3))
+        sums = np.where(valid, parts, 0.0).sum(axis=(1, 3))
+        small = sums / np.maximum(cnt, 1)
+        nblocks = int((cnt > 0).sum())
+        thresh = (small[cnt > 0].sum() / nblocks) if nblocks else 0.0
+        bits = ((cnt > 0) & (small > thresh)).ravel()
     val = np.uint64(0)
     for b in bits:
         val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))

@@ -88,7 +88,10 @@ def generate_image(i, size=512, seed=42, fmt="png", k=None):
         "h": np.int32(h),
         "fmt": fmt,
         "caption": f"scene {i}: {k} regions",
-        "phash": np.int64(average_phash(img[0])),
+        # nodata-aware hash: without masking, the uniform null
+        # margin makes every fixture image hash to the same
+        # border-mask value (28 edge blocks set) — zero diversity
+        "phash": np.int64(average_phash(img[0], IMG_NULL_VAL)),
     }
     return row, truth
 

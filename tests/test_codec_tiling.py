@@ -34,7 +34,12 @@ def test_fixture_row_invariants():
     img1 = decode_image(row1["bytes"], row1["fmt"], 128, 128)
     img2 = decode_image(row2["bytes"], row2["fmt"], 128, 128)
     assert np.array_equal(img1, img2)
-    assert average_phash(img1[0]) == row1["phash"]
+    from pyshepseg_spark.constants import IMG_NULL_VAL
+    assert average_phash(img1[0], IMG_NULL_VAL) == row1["phash"]
+    # nodata-aware: masking the null margin must change the hash
+    # (unmasked, every fixture image degenerates to the border mask)
+    assert average_phash(img1[0], IMG_NULL_VAL) != average_phash(
+        img1[0])
     # truth ids match caption's region count
     k = int(row1["caption"].split(": ")[1].split()[0])
     assert truth1.max() == k

@@ -259,11 +259,46 @@ def test_image_near_dups_recompute_equals_stored(spark):
     df = spark.createDataFrame(table)
     a = image_near_dups(df, max_hamming=4, blocks=8) \
         .toPandas().sort_values(["a", "b"], ignore_index=True)
+    from pyshepseg_spark.constants import IMG_NULL_VAL
     b = image_near_dups(df, max_hamming=4, blocks=8,
-                        recompute=True) \
+                        recompute=True,
+                        img_null_val=IMG_NULL_VAL) \
         .toPandas().sort_values(["a", "b"], ignore_index=True)
     assert a.equals(b)
     assert len(a) >= 2              # the exact copies (hamming 0)
+
+
+def test_image_near_dups_recompute_skips_corrupt_rows(spark):
+    """on_decode_error='skip' drops corrupt bytes rows instead of
+    failing the stage; 'fail' (default) raises (ADVICE r3)."""
+    import pandas as pd
+    import pytest
+    from pyshepseg_spark.constants import IMG_NULL_VAL
+    from pyshepseg_spark.operators.multimodal import image_near_dups
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+
+    pdf = generate_images_pdf(4, size=64, seed=12)
+    dup = pdf.head(2).copy()
+    dup["image_id"] = dup["image_id"] + "_copy"
+    bad = pdf.head(1).copy()
+    bad["image_id"] = "corrupt"
+    bad["bytes"] = [b"\x89PNG not really"]
+    table = pd.concat([pdf, dup, bad], ignore_index=True)
+    df = spark.createDataFrame(table)
+    with pytest.raises(Exception):
+        image_near_dups(df, max_hamming=4, blocks=8,
+                        recompute=True,
+                        img_null_val=IMG_NULL_VAL).count()
+    got = image_near_dups(df, max_hamming=4, blocks=8,
+                          recompute=True, img_null_val=IMG_NULL_VAL,
+                          on_decode_error="skip") \
+        .toPandas().sort_values(["a", "b"], ignore_index=True)
+    clean = image_near_dups(
+        spark.createDataFrame(pd.concat([pdf, dup],
+                                        ignore_index=True)),
+        max_hamming=4, blocks=8) \
+        .toPandas().sort_values(["a", "b"], ignore_index=True)
+    assert got.equals(clean)
 
 
 def test_streaming_segment_stats_incremental_exactly_once(spark,

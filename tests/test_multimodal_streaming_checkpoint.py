@@ -339,14 +339,46 @@ def test_streaming_segment_stats_incremental_exactly_once(spark,
     q2 = streaming_segment_stats(spark, src, cfg, out, ckpt)
     q2.awaitTermination(120)
 
-    got = spark.read.parquet(out).toPandas().sort_values(
-        ["image_id", "seg_id", "band"], ignore_index=True)
+    got = spark.read.parquet(out).drop("batch_id").toPandas() \
+        .sort_values(["image_id", "seg_id", "band"],
+                     ignore_index=True)
     want = segment_stats_tiled(
         spark.createDataFrame(pdf[cols]), cfg).toPandas().sort_values(
         ["image_id", "seg_id", "band"], ignore_index=True)
     pd.testing.assert_frame_equal(
         got.reindex(sorted(got.columns), axis=1),
         want.reindex(sorted(want.columns), axis=1))
+
+
+def test_streaming_stats_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the parquet
+    write and the checkpoint commit replays the batch. The
+    dynamic-partition-overwrite writer must make the replay a no-op
+    (same rows, no duplicates) — ADVICE r3."""
+    import pandas as pd
+    from pyshepseg_spark.operators.segment import SegConfig
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    from pyshepseg_spark.streaming.stateful import stats_batch_writer
+
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=64, overlap=16)
+    pdf = generate_images_pdf(3, size=96, seed=22)
+    pdf["num_clusters"] = [int(c.split(": ")[1].split()[0])
+                           for c in pdf["caption"]]
+    out = str(tmp_path / "stats")
+    writer = stats_batch_writer(cfg, out)
+    b0 = spark.createDataFrame(pdf.iloc[:2])
+    b1 = spark.createDataFrame(pdf.iloc[2:])
+    writer(b0, 0)
+    writer(b1, 1)
+    first = spark.read.parquet(out).toPandas().sort_values(
+        ["batch_id", "image_id", "seg_id", "band"],
+        ignore_index=True)
+    writer(b0, 0)        # the at-least-once replay
+    second = spark.read.parquet(out).toPandas().sort_values(
+        ["batch_id", "image_id", "seg_id", "band"],
+        ignore_index=True)
+    pd.testing.assert_frame_equal(first, second)
 
 
 def test_stats_from_restored_binary_checkpoint(spark, tmp_path):

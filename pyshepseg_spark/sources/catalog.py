@@ -36,6 +36,16 @@ from functools import lru_cache
 # Writers use saveAsTable/append; Iceberg gives snapshot isolation
 # for the checkpoint-resume flow (plans/checkpoint.py) and
 # metadata-level file skipping for the probe joins.
+#
+# Offline-vendoring status (round 4, 2026-08-17): attempted to fetch
+# the public iceberg-spark-runtime jar so the round-trip test could
+# execute in-sandbox; Maven Central is unreachable from this
+# container (curl -> HTTP 000, no egress) and no Iceberg jar exists
+# anywhere on the image (find / -name '*iceberg*' -> none). The
+# round-trip + partition-pruning test therefore stays
+# skipped-with-reason (tests/test_codec_tiling.py
+# test_iceberg_round_trip_when_runtime_present) and will run
+# unmodified the first time the jar is on the classpath.
 ICEBERG_RUNTIME_PACKAGE = (
     "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0")
 

@@ -340,7 +340,9 @@ def explode_and_segment(images_df, cfg: SegConfig,
     return images_df.select(*cols).mapInPandas(kernel, schema)
 
 
-def segment_tiles(tiles_df, centres, cfg: SegConfig):
+def segment_tiles(tiles_df, centres, cfg: SegConfig,
+                  emit_hist: bool = False,
+                  keep_binaries: bool = True):
     """doOne phase: run the Shepherd kernel on every tile
     (mapInPandas; no shuffle). Emits local uint32 seg ids, the list
     of 'anchored' local ids (segments whose bbox min lies in the
@@ -352,7 +354,14 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
     ``centres``: None if tiles_df already carries a per-image
     ``centres`` column (the fused explode_tiles path — preferred), a
     numpy (k, nbands) matrix (giant-single-raster mode), or the
-    per-image centres DataFrame from :func:`fit_centres_per_image`."""
+    per-image centres DataFrame from :func:`fit_centres_per_image`.
+
+    emit_hist/keep_binaries mirror explode_and_segment: stats-only
+    consumers set (True, False) so the kernel output carries per-tile
+    core histograms instead of pixel/segtile binaries — the
+    giant-single-raster stats path (segment_stats_tiled with shared
+    centres) needs them here because it runs the UNFUSED kernel to
+    spread one mosaic's tiles across the cluster."""
     margin = cfg.overlap // 2
     overlap = cfg.overlap
     cfg_b = cfg
@@ -371,6 +380,8 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
         tiles_df = tiles_df.join(
             centres.select("image_id", "centres"), "image_id")
 
+    schema, out_cols = _seg_tile_schema(emit_hist, keep_binaries)
+
     def kernel(batches):
         for pdf in batches:
             out = []
@@ -382,10 +393,12 @@ def segment_tiles(tiles_df, centres, cfg: SegConfig):
                 out.append(_segment_tile_record(
                     row.image_id, row.tcol, row.trow, row.ntcols,
                     row.ntrows, row.xpos, row.ypos, row.xsize,
-                    row.ysize, img, row.pixels, c, cfg_b))
-            yield pd.DataFrame(out, columns=SEG_COLUMNS)
+                    row.ysize, img, row.pixels, c, cfg_b,
+                    emit_hist=emit_hist,
+                    keep_binaries=keep_binaries))
+            yield pd.DataFrame(out, columns=out_cols)
 
-    return tiles_df.mapInPandas(kernel, SEG_TILE_SCHEMA)
+    return tiles_df.mapInPandas(kernel, schema)
 
 
 def tile_offsets(seg_tiles):
@@ -993,10 +1006,23 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
                 cfg = dataclasses.replace(cfg, img_null_val=int(nv))
     if centres is None:
         # fully fused path: decode + fit + tile + segment in ONE
-        # kernel pass (raw tiles never round-trip through Arrow)
+        # kernel pass (raw tiles never round-trip through Arrow).
+        # Parallelism = image count; the right default for the
+        # many-images flagship.
         seg_tiles = explode_and_segment(images_df, cfg)
     else:
-        tiles = explode_tiles(images_df, cfg.tile_size, cfg.overlap)
+        # giant-single-raster mode: tiling and segmentation are
+        # separate kernels so the tile rows can SPREAD between them
+        # — explode_tiles emits all of an image's tiles in the one
+        # partition that decoded it, and without the shuffle the
+        # segment kernel would run an entire mosaic serially.
+        # spread_small_scan is a no-op once input splits already
+        # provide parallelism (the 10^12-images regime), so the
+        # extra exchange is paid exactly when intra-image
+        # parallelism is the point.
+        from .skew import spread_small_scan
+        tiles = spread_small_scan(
+            explode_tiles(images_df, cfg.tile_size, cfg.overlap))
         seg_tiles = segment_tiles(tiles, centres, cfg)
     final = stitch(seg_tiles, cfg, with_histogram=with_histogram,
                    mode=mode)

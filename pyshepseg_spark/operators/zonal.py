@@ -125,7 +125,7 @@ def segment_nodata_counts(hist_all, img_null_val: int):
 
 
 def segment_stats_tiled(images_df, cfg, percentiles=(50,),
-                        with_nodata=False):
+                        with_nodata=False, centres=None):
     """images -> per-segment exact stats as ONE LINEAR JOB, never
     materializing the painted mosaic or re-reading pixels: the
     segmentation kernel emits each tile's trimmed-core histogram on
@@ -142,11 +142,28 @@ def segment_stats_tiled(images_df, cfg, percentiles=(50,),
     derives the stats from the filtered bins and joins the A4
     nodata/valid counts on — the merged histogram is
     locally checkpointed (it is segment-count-sized) so the kernel
-    runs once for the two consumers, with nothing left cached."""
-    from .segment import explode_and_segment, sequential_stitch_mapping
+    runs once for the two consumers, with nothing left cached.
 
-    st = explode_and_segment(images_df, cfg, emit_hist=True,
-                             keep_binaries=False)
+    centres: None (default) fits per image inside the fused kernel —
+    parallelism = image count, the many-images regime. A shared
+    (k, nbands) numpy matrix switches to the giant-single-raster
+    mode: unfused explode -> SPREAD tile rows -> per-tile kernels,
+    so one mosaic's tiles run across the cluster instead of inside
+    the single task that decoded the image (fit the matrix with
+    segment.fit_global_centres — the reference's own prepare
+    phase)."""
+    from .segment import (explode_and_segment, explode_tiles,
+                          segment_tiles, sequential_stitch_mapping)
+    from .skew import spread_small_scan
+
+    if centres is None:
+        st = explode_and_segment(images_df, cfg, emit_hist=True,
+                                 keep_binaries=False)
+    else:
+        tiles = spread_small_scan(
+            explode_tiles(images_df, cfg.tile_size, cfg.overlap))
+        st = segment_tiles(tiles, centres, cfg, emit_hist=True,
+                           keep_binaries=False)
     part = sequential_stitch_mapping(st, cfg.overlap, output="hist")
     hist_all = (part.groupBy("image_id", "seg_id", "band", "val")
                 .agg(F.sum("cnt").alias("cnt")))

@@ -492,3 +492,37 @@ def test_corrupt_image_row_skippable(spark):
     assert set(out["image_id"]) == set(pdf["image_id"])
     segs = segment_images(images, cfg_skip).toPandas()
     assert set(segs["image_id"]) == set(pdf["image_id"])
+
+
+def test_giant_mosaic_shared_centres_paths_agree(spark,
+                                                 images_fixture, cfg):
+    """Giant-single-raster mode (shared centres matrix): the unfused
+    spread-tiles stats path (segment_stats_tiled centres=...) must
+    equal paint -> tile_value_histogram -> finalizers over
+    segment_images_tiled with the SAME centres, and the tile-row
+    spread must not change any value (kernels are per-tile pure;
+    stitch order is re-established by sort)."""
+    import numpy as np
+    from pyshepseg_spark.operators.segment import (fit_global_centres,
+                                                   segment_images_tiled)
+    from pyshepseg_spark.operators.zonal import (
+        segment_stats, segment_stats_tiled, tile_value_histogram)
+    _, _, images = images_fixture
+    one = images.limit(1)
+    centres = fit_global_centres(one, cfg)
+    final, _, _ = segment_images_tiled(one, cfg, centres=centres)
+    want = segment_stats(
+        tile_value_histogram(final, img_null_val=65535),
+        percentiles=(50,)).toPandas()
+    got = segment_stats_tiled(one, cfg, percentiles=(50,),
+                              centres=centres).toPandas()
+    key = ["image_id", "seg_id", "band"]
+    g = got.sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    assert len(g) == len(w) and len(g) > 0
+    for c in g.columns:
+        a, b = g[c].to_numpy(), w[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, equal_nan=True), c
+        else:
+            assert (a == b).all(), c

@@ -39,14 +39,22 @@ def cmd_gen(args):
 
 def cmd_segment(args):
     spark = _session(args)
-    from .operators.segment import SegConfig, segment_images_tiled
+    from .operators.segment import (SegConfig, fit_global_centres,
+                                    segment_images_tiled)
     cfg = SegConfig(img_null_val=args.null_val,
                     four_connected=args.four_connected,
                     min_segment_size=args.min_segment_size,
                     num_clusters=args.num_clusters,
                     tile_size=args.tilesize, overlap=args.overlap)
     images = spark.read.parquet(args.images)
-    final, seg_tiles, _ = segment_images_tiled(images, cfg)
+    # --global-centres = the reference's own prepare protocol (one
+    # k-means over a global subsample, tiling.py:196-224) and the
+    # giant-single-raster mode: tile rows spread across the cluster
+    # instead of running inside each image's decode task
+    centres = (fit_global_centres(images, cfg)
+               if args.global_centres else None)
+    final, seg_tiles, _ = segment_images_tiled(images, cfg,
+                                               centres=centres)
     final.write.mode("overwrite").parquet(args.out)
     print(f"wrote stitched tiles to {args.out}")
 
@@ -66,8 +74,13 @@ def cmd_pipeline(args):
                     tile_size=args.tilesize, overlap=args.overlap)
     images = spark.read.parquet(args.images)
     pcts = tuple(int(p) for p in args.percentiles.split(","))
+    centres = None
+    if args.global_centres:
+        from .operators.segment import fit_global_centres
+        centres = fit_global_centres(images, cfg)
     segment_stats_tiled(images, cfg, percentiles=pcts,
-                        with_nodata=args.with_nodata) \
+                        with_nodata=args.with_nodata,
+                        centres=centres) \
         .write.mode("overwrite").parquet(args.out)
     print(f"wrote per-segment stats to {args.out}")
 
@@ -143,6 +156,11 @@ def main(argv=None):
     s.add_argument("--num-clusters", type=int, default=60)
     s.add_argument("--min-segment-size", type=int, default=50)
     s.add_argument("--null-val", type=int, default=None)
+    s.add_argument("--global-centres", action="store_true",
+                   help="one global k-means over a subsample of all "
+                        "input (the reference's single-raster "
+                        "protocol) instead of per-image fits; "
+                        "spreads tile rows for giant mosaics")
     s.add_argument("--four-connected", default=True,
                    action=argparse.BooleanOptionalAction)
     _add_common(s)
@@ -157,6 +175,10 @@ def main(argv=None):
     pl.add_argument("--num-clusters", type=int, default=60)
     pl.add_argument("--min-segment-size", type=int, default=50)
     pl.add_argument("--null-val", type=int, default=None)
+    pl.add_argument("--global-centres", action="store_true",
+                   help="one global k-means over a subsample of all "
+                        "input instead of per-image fits; spreads "
+                        "tile rows for giant mosaics")
     pl.add_argument("--four-connected", default=True,
                     action=argparse.BooleanOptionalAction)
     pl.add_argument("--percentiles", default="50")

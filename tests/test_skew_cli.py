@@ -55,3 +55,27 @@ def test_cli_stats_with_nodata_requires_null_val(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode != 0
     assert "requires --null-val" in (r.stderr + r.stdout)
+
+
+def test_cli_segment_global_centres_roundtrip(tmp_path):
+    """--global-centres (the reference's single-raster prepare
+    protocol) drives the unfused spread-tiles path end to end and
+    produces a readable stitched output."""
+    import subprocess
+    import sys
+    imgs = str(tmp_path / "imgs.parquet")
+    out = str(tmp_path / "final.parquet")
+    for cmd in (
+        ["gen", "--n", "2", "--size", "96", "--out", imgs],
+        ["segment", "--images", imgs, "--out", out,
+         "--tilesize", "64", "--overlap", "16", "--global-centres"],
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "pyshepseg_spark.cli"] + cmd,
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT COUNT(*) AS n, MAX(octet_length(segdata)) AS m "
+        f"FROM '{out}/*.parquet'").fetchone()
+    assert n[0] > 0 and n[1] > 0

@@ -238,10 +238,48 @@ def tile_value_histogram(final_tiles, img_null_val: int | None = None):
             .agg(F.sum("cnt").alias("cnt")))
 
 
+def check_image_alignment(seg_images, images_df,
+                          max_report: int = 20):
+    """Analogue of the reference's doImageAlignmentChecks
+    (tilingstats.py:409-463): cross-raster zonal stats — values from
+    one table, segmentation from another — are only meaningful when
+    both share the pixel grid. Joins the two tables' METADATA (no
+    pixel data moves) and raises a clear error listing image_ids
+    that mismatch in (w, h) or exist on only one side; without the
+    check a mismatched values raster dies deep in the decode kernel
+    with a shape error (or, for raw bytes of coincidentally equal
+    length, silently histograms misaligned pixels — the reference
+    calls this 'silently getting everything wrong' and refuses)."""
+    a = seg_images.select("image_id",
+                          F.col("w").alias("seg_w"),
+                          F.col("h").alias("seg_h"))
+    b = images_df.select("image_id",
+                         F.col("w").alias("img_w"),
+                         F.col("h").alias("img_h"))
+    bad = (a.join(b, "image_id", "full_outer")
+           .filter(F.col("seg_w").isNull() | F.col("img_w").isNull()
+                   | (F.col("seg_w") != F.col("img_w"))
+                   | (F.col("seg_h") != F.col("img_h")))
+           .limit(max_report).collect())
+    if bad:
+        detail = "; ".join(
+            f"{r['image_id']}: seg {r['seg_w']}x{r['seg_h']} vs "
+            f"img {r['img_w']}x{r['img_h']}" for r in bad)
+        raise ValueError(
+            "segmentation/image tables are not aligned "
+            f"(first {len(bad)} offenders): {detail}")
+
+
 def seg_image_value_histogram(seg_images, images_df,
-                              img_null_val: int | None = None):
+                              img_null_val: int | None = None,
+                              validate: bool = True):
     """Stage-1 variant for the whole-image path: join seg rasters
-    back to image bytes and histogram in one kernel."""
+    back to image bytes and histogram in one kernel. Accepts a
+    DIFFERENT values table than the one segmented (the reference's
+    calcPerSegmentStatsTiled(imgfile, segfile) cross-raster form) —
+    validate=True runs check_image_alignment first."""
+    if validate:
+        check_image_alignment(seg_images, images_df)
     j = seg_images.select("image_id", "w", "h", "nbands", "segdata") \
         .join(images_df.select("image_id", "bytes", "fmt"), "image_id")
 

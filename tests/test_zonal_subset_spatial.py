@@ -425,3 +425,40 @@ def test_fill_missing_stats_reports_missing_value(spark):
     assert out[2]["pix_count"] == 0
     assert out[2]["mean_val"] == MISSING_STATS_VALUE
     assert out[2]["median_val"] == MISSING_STATS_VALUE
+
+
+def test_cross_raster_zonal_alignment_guard(spark, images_fixture,
+                                            cfg):
+    """doImageAlignmentChecks analogue (tilingstats.py:409-463): a
+    values table whose grid disagrees with the segmentation — or
+    whose ids don't cover it — must fail FAST with a clear error
+    naming the offenders, not die inside the decode kernel. An
+    aligned cross-raster table (same grid, different values) passes
+    and histograms fine."""
+    import pytest
+    from pyshepseg_spark.operators.segment import segment_images
+    from pyshepseg_spark.operators.zonal import (
+        check_image_alignment, seg_image_value_histogram)
+    from pyshepseg_spark.sources.imagegen import generate_images_pdf
+    _, _, images = images_fixture
+    seg = segment_images(images, cfg).localCheckpoint()
+
+    # aligned values table: same ids and grid, different pixel values
+    # (regenerate with another seed but identical image_ids/size)
+    pdf2 = generate_images_pdf(3, size=256, seed=77)
+    vals = spark.createDataFrame(pdf2)
+    h = seg_image_value_histogram(seg, vals, img_null_val=65535)
+    assert h.count() > 0
+
+    # misaligned grid: wrong size
+    pdf3 = generate_images_pdf(3, size=128, seed=77)
+    bad = spark.createDataFrame(pdf3)
+    with pytest.raises(ValueError, match="not aligned"):
+        check_image_alignment(seg, bad)
+    with pytest.raises(ValueError, match="not aligned"):
+        seg_image_value_histogram(seg, bad).count()
+
+    # missing coverage: values table lacks one of the seg's images
+    partial = spark.createDataFrame(pdf2.iloc[:2])
+    with pytest.raises(ValueError, match="not aligned"):
+        check_image_alignment(seg, partial)

@@ -354,3 +354,87 @@ def test_duplicate_groups_integer_ids_unchanged(spark):
     got = {r["doc_id"]: r["group_rep"]
            for r in duplicate_groups(pairs).collect()}
     assert got == {5: 2, 2: 2, 9: 2, 40: 40, 41: 40}
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-occurrence dedup over two file deliveries ==
+    batch dedup over the full table: nothing duplicated across
+    micro-batches, state restored from the checkpoint between the
+    two runs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyshepseg_spark.streaming.dedup import (
+        streaming_exact_dedup, with_content_hash)
+
+    rows1 = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha beta", "gamma delta", "Alpha  beta",
+                 "unique one"]})          # 2 dups of doc 0 family
+    rows2 = pd.DataFrame({
+        "doc_id": [4, 5, 6],
+        "text": ["gamma delta", "fresh text here", "ALPHA BETA"]})
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        q = (streaming_exact_dedup(
+                spark.readStream.schema(schema).parquet(src))
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(rows2).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()
+
+    got = (spark.read.parquet(out)
+           .select("content_hash", "doc_id").toPandas())
+    # exactly one row per distinct hash, across BOTH deliveries
+    assert got["content_hash"].is_unique
+    full = pd.concat([rows1, rows2], ignore_index=True)
+    want_hashes = set(
+        r["content_hash"] for r in with_content_hash(
+            spark.createDataFrame(full)).collect())
+    assert set(got["content_hash"]) == want_hashes
+    # first occurrence won: doc 0 retained, 2/6 dropped; 1 vs 4
+    kept = set(got["doc_id"])
+    assert 0 in kept and 2 not in kept and 6 not in kept
+    assert (1 in kept) and (4 not in kept)
+
+
+def test_streaming_dedup_watermarked_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate inside the horizon
+    is suppressed; batch==stream on a single availableNow pass."""
+    import datetime as dt
+    import pandas as pd
+    from pyshepseg_spark.streaming.dedup import (
+        streaming_exact_dedup_watermarked)
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "ts": [t0, t0 + dt.timedelta(minutes=5),
+               t0 + dt.timedelta(minutes=10)],
+        "text": ["same thing", "same thing", "different thing"]})
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = (streaming_exact_dedup_watermarked(
+            spark.readStream.schema(
+                "doc_id long, ts timestamp, text string")
+            .parquet(src), horizon="1 hour")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = sorted(spark.read.parquet(out).toPandas()["doc_id"])
+    assert kept == [0, 2]

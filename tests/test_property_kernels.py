@@ -63,3 +63,42 @@ def test_relabel_makes_ids_contiguous(h, w, seed):
     for old in np.unique(before_partition):
         cells = before_partition == old
         assert len(np.unique(seg[cells])) == 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(100, 230),                  # image size
+       st.sampled_from([(48, 16), (64, 16), (64, 24), (96, 24)]),
+       st.integers(0, 10**6))                  # image seed
+def test_stitch_parity_random_configs(size, tile_overlap, seed):
+    """Randomized (size, tile, overlap, image) stitch parity: the
+    distributed sequential stitch must be BITWISE equal to the
+    reference's own recode chain replayed driver-side
+    (refharness.reference_stitched_mosaic) on every configuration —
+    edge-grown last rows/cols, chains across interior tiles, odd
+    sizes. Complements the fixed 2x2/3x3/4x4/3x2 parity tests."""
+    import pandas as pd
+    from pyshepseg_spark import refharness
+    from pyshepseg_spark.operators.segment import (
+        SegConfig, assemble_image, segment_images_tiled)
+    from pyshepseg_spark.session import get_spark
+    from pyshepseg_spark.sources.codec import decode_image
+    from pyshepseg_spark.sources.imagegen import generate_image
+
+    tile, overlap = tile_overlap
+    if size <= tile:           # need a real multi-tile grid
+        size = tile + max(17, size % tile)
+    spark = get_spark(app_name="prop_stitch", master="local[8]",
+                      shuffle_partitions=8)
+    row, _ = generate_image(seed % 1000, size=size, seed=seed)
+    k = int(row["caption"].split(": ")[1].split()[0])
+    pdf = pd.DataFrame([row])
+    pdf["num_clusters"] = k
+    cfg = SegConfig(img_null_val=65535, four_connected=False,
+                    min_segment_size=50, tile_size=tile,
+                    overlap=overlap)
+    final, _, _ = segment_images_tiled(
+        spark.createDataFrame(pdf), cfg)
+    ours = assemble_image(final.toPandas(), size, size)
+    img = decode_image(row["bytes"], row["fmt"], size, size)
+    ref = refharness.reference_stitched_mosaic(img, k, cfg)
+    assert np.array_equal(ours, ref.astype(np.int64))

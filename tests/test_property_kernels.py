@@ -65,7 +65,7 @@ def test_relabel_makes_ids_contiguous(h, w, seed):
         assert len(np.unique(seg[cells])) == 1
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=6, deadline=None, derandomize=True)
 @given(st.integers(100, 230),                  # image size
        st.sampled_from([(48, 16), (64, 16), (64, 24), (96, 24)]),
        st.integers(0, 10**6))                  # image seed

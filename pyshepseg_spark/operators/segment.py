@@ -88,11 +88,26 @@ SEG_TILE_SCHEMA = (
 )
 
 
-def fit_global_centres(images_df, cfg: SegConfig) -> np.ndarray:
+def fit_global_centres(images_df, cfg: SegConfig,
+                       validate: bool = True) -> np.ndarray:
     """Prepare phase for the one-giant-raster scenario: deterministic
     global stride sample -> driver Lloyd fit (reference
     tiling.py:196-224). For a table of independent images use
-    :func:`fit_centres_per_image` instead."""
+    :func:`fit_centres_per_image` instead.
+
+    validate=True runs the same S4 nodata discovery as
+    segment_images_tiled's validate block BEFORE sampling: the
+    reference's fitSpectralClustersWholeFile samples only non-null
+    pixels, so fitting with an undiscovered null value would pin
+    clusters to the nodata constant and silently degrade every
+    downstream segmentation (driver ADVICE r4)."""
+    if validate and cfg.img_null_val is None:
+        import dataclasses
+
+        from .tiling import discover_img_null_val
+        nv = discover_img_null_val(images_df)
+        if nv is not None:
+            cfg = dataclasses.replace(cfg, img_null_val=int(nv))
     sample_df = stride_sample_pixels(
         images_df, cfg.sample_target_pixels, cfg.img_null_val)
     x = collect_sample(sample_df)

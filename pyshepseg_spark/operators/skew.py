@@ -66,13 +66,20 @@ def spread_small_scan(df, target: int | None = None):
     internal RDD — NOT ``df.rdd``, which additionally builds the
     Python-conversion (Arrow/pickle) RDD chain per call just to ask
     for a number (a needless analysis+conversion pass on six hot
-    operators, VERDICT r3 #5)."""
-    sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
+    operators, VERDICT r3 #5).
+
+    On non-JVM backends (Spark Connect) neither sparkContext nor
+    _jdf exists, so the plan can't be introspected cheaply: with an
+    explicit ``target`` we repartition unconditionally (the input is
+    by definition small); without one we return the frame unchanged —
+    on a real cluster input splits already provide the parallelism
+    this helper exists to restore in local mode (ADVICE r4)."""
     try:
+        sc = df.sparkSession.sparkContext
+        target = target or sc.defaultParallelism
         n = df._jdf.queryExecution().toRdd().getNumPartitions()
-    except Exception:      # non-JVM backends (Spark Connect)
-        n = df.rdd.getNumPartitions()
+    except Exception:      # non-JVM backend (Spark Connect)
+        return df.repartition(target) if target else df
     if n < target:
         return df.repartition(target)
     return df

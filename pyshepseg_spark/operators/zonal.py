@@ -239,27 +239,38 @@ def tile_value_histogram(final_tiles, img_null_val: int | None = None):
 
 
 def check_image_alignment(seg_images, images_df,
-                          max_report: int = 20):
+                          max_report: int = 20,
+                          strict: bool = False):
     """Analogue of the reference's doImageAlignmentChecks
     (tilingstats.py:409-463): cross-raster zonal stats — values from
     one table, segmentation from another — are only meaningful when
     both share the pixel grid. Joins the two tables' METADATA (no
     pixel data moves) and raises a clear error listing image_ids
-    that mismatch in (w, h) or exist on only one side; without the
-    check a mismatched values raster dies deep in the decode kernel
-    with a shape error (or, for raw bytes of coincidentally equal
-    length, silently histograms misaligned pixels — the reference
-    calls this 'silently getting everything wrong' and refuses)."""
+    whose grids mismatch or whose segmentation row has no values-side
+    match; without the check a mismatched values raster dies deep in
+    the decode kernel with a shape error (or, for raw bytes of
+    coincidentally equal length, silently histograms misaligned
+    pixels — the reference calls this 'silently getting everything
+    wrong' and refuses).
+
+    Values-side-ONLY rows (a values catalog that is a superset of the
+    segmentation table) are benign — the downstream inner join simply
+    skips them, and the reference's two-raster check has no precedent
+    for erroring there — so they warn by default; strict=True
+    promotes them to errors (driver ADVICE r4)."""
+    import warnings
     a = seg_images.select("image_id",
                           F.col("w").alias("seg_w"),
                           F.col("h").alias("seg_h"))
     b = images_df.select("image_id",
                          F.col("w").alias("img_w"),
                          F.col("h").alias("img_h"))
-    bad = (a.join(b, "image_id", "full_outer")
-           .filter(F.col("seg_w").isNull() | F.col("img_w").isNull()
-                   | (F.col("seg_w") != F.col("img_w"))
-                   | (F.col("seg_h") != F.col("img_h")))
+    joined = a.join(b, "image_id", "full_outer")
+    bad = (joined
+           .filter(F.col("seg_w").isNotNull()
+                   & (F.col("img_w").isNull()
+                      | (F.col("seg_w") != F.col("img_w"))
+                      | (F.col("seg_h") != F.col("img_h"))))
            .limit(max_report).collect())
     if bad:
         detail = "; ".join(
@@ -268,6 +279,16 @@ def check_image_alignment(seg_images, images_df,
         raise ValueError(
             "segmentation/image tables are not aligned "
             f"(first {len(bad)} offenders): {detail}")
+    extra = (joined.filter(F.col("seg_w").isNull())
+             .limit(max_report).collect())
+    if extra:
+        detail = ", ".join(str(r["image_id"]) for r in extra)
+        msg = (f"values table has {len(extra)}+ image_ids with no "
+               f"segmentation row (skipped by the stats join): "
+               f"{detail}")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg)
 
 
 def seg_image_value_histogram(seg_images, images_df,

@@ -494,6 +494,34 @@ def test_corrupt_image_row_skippable(spark):
     assert set(segs["image_id"]) == set(pdf["image_id"])
 
 
+def test_fit_global_centres_discovers_nodata(spark, images_fixture,
+                                             cfg):
+    """ADVICE r4 (medium): --global-centres with --null-val omitted
+    must not sample nodata pixels into the global k-means fit (the
+    reference's fitSpectralClustersWholeFile samples only non-null
+    pixels). fit_global_centres now runs the same S4 metadata
+    discovery as segment_images_tiled's validate block: with
+    band_null_vals declared, img_null_val=None yields exactly the
+    explicit-null fit, while validate=False reproduces the old
+    nodata-polluted sample (the generated images carry a 65535
+    margin) and provably shifts the centres."""
+    import dataclasses
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyshepseg_spark.operators.segment import fit_global_centres
+    _, _, images = images_fixture
+    tagged = images.withColumn("band_null_vals",
+                               F.array(F.lit(65535)))
+    nocfg = dataclasses.replace(cfg, img_null_val=None)
+    c_auto = fit_global_centres(tagged, nocfg)
+    c_explicit = fit_global_centres(images, cfg)
+    assert np.array_equal(c_auto, c_explicit)
+    c_raw = fit_global_centres(tagged, nocfg, validate=False)
+    assert not np.array_equal(c_raw, c_explicit)
+
+
 def test_giant_mosaic_shared_centres_paths_agree(spark,
                                                  images_fixture, cfg):
     """Giant-single-raster mode (shared centres matrix): the unfused

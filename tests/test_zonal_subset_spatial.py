@@ -462,3 +462,19 @@ def test_cross_raster_zonal_alignment_guard(spark, images_fixture,
     partial = spark.createDataFrame(pdf2.iloc[:2])
     with pytest.raises(ValueError, match="not aligned"):
         check_image_alignment(seg, partial)
+
+    # values SUPERSET (ADVICE r4): extra values-only rows are benign
+    # for the downstream inner join — warn by default, raise only
+    # under strict=True, and the default histogram path still runs
+    pdf4 = generate_images_pdf(4, size=256, seed=77)
+    superset = spark.createDataFrame(pdf4)
+    with pytest.warns(UserWarning, match="no segmentation row"):
+        check_image_alignment(seg, superset)
+    with pytest.raises(ValueError, match="no segmentation row"):
+        check_image_alignment(seg, superset, strict=True)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        h2 = seg_image_value_histogram(seg, superset,
+                                       img_null_val=65535)
+        assert h2.count() == h.count()

@@ -173,10 +173,24 @@ def minhash_signatures(docs, text_col="text", id_col="doc_id",
 
 
 def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
-                      bands=16):
+                      bands=16, materialize=True):
     """LSH banding: hash each band of the signature, equi-join docs
-    sharing a (band, bucket); candidate pairs deduped by (a < b)."""
+    sharing a (band, bucket); candidate pairs deduped by (a < b).
+
+    materialize=True (default) puts a localCheckpoint barrier on the
+    signature frame before the fan-out. Without it CollapseProject
+    re-inlines the signature expression into the band posexplode and
+    BOTH self-join sides (~3-4 evaluations per doc; interpreted HOFs
+    get no codegen CSE — PERF.md round-4/5 A/B), a measured ~35%
+    tax on the full minhash_near_dups shape at sf0.1
+    (scripts/microbench_minhash.py: 1.24 s -> 0.81 s median, and
+    every signature rewrite ties within noise once barriered). At
+    real scale a signature table is materialized anyway (compute
+    once, probe many); pass False to keep lineage (e.g. ahead of a
+    user-managed persist or table write)."""
     rows_per_band = num_hashes // bands
+    if materialize:
+        signatures = signatures.localCheckpoint(eager=False)
     banded = signatures.select(
         id_col, "minhash",
         F.posexplode(F.transform(

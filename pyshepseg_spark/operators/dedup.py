@@ -172,6 +172,25 @@ def minhash_signatures(docs, text_col="text", id_col="doc_id",
         sig(_shingles(text_col, k)).alias("minhash"))
 
 
+def minhash_band_keys(signatures, id_col="doc_id", num_hashes=64,
+                      bands=16):
+    """Explode a signature frame into one row per (band, bucket) key:
+    bucket = xxhash64 of the band's signature slice. Shared by the
+    batch self-join (minhash_lsh_pairs) and the streaming signature
+    store (streaming/dedup.py) so both derive IDENTICAL keys."""
+    rows_per_band = num_hashes // bands
+    return signatures.select(
+        id_col, "minhash",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.xxhash64(F.concat_ws(
+                ",", F.transform(
+                    F.slice("minhash", bi * rows_per_band + 1,
+                            rows_per_band),
+                    lambda v: v.cast("string")))))).alias("band",
+                                                          "bucket"))
+
+
 def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
                       bands=16, materialize=True):
     """LSH banding: hash each band of the signature, equi-join docs
@@ -188,19 +207,10 @@ def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
     real scale a signature table is materialized anyway (compute
     once, probe many); pass False to keep lineage (e.g. ahead of a
     user-managed persist or table write)."""
-    rows_per_band = num_hashes // bands
     if materialize:
         signatures = signatures.localCheckpoint(eager=False)
-    banded = signatures.select(
-        id_col, "minhash",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bi: F.xxhash64(F.concat_ws(
-                ",", F.transform(
-                    F.slice("minhash", bi * rows_per_band + 1,
-                            rows_per_band),
-                    lambda v: v.cast("string")))))).alias("band",
-                                                          "bucket"))
+    banded = minhash_band_keys(signatures, id_col=id_col,
+                               num_hashes=num_hashes, bands=bands)
     left = banded.select(F.col(id_col).alias("a"), "band", "bucket",
                          F.col("minhash").alias("sig_a"))
     right = banded.select(F.col(id_col).alias("b"), "band", "bucket",

@@ -63,3 +63,134 @@ def streaming_exact_dedup_watermarked(stream_df, ts_col="ts",
     return (with_content_hash(stream_df, text_col)
             .withWatermark(ts_col, horizon)
             .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
+def minhash_probe_writer(store_path, pairs_path, text_col="text",
+                         id_col="doc_id", num_hashes=32, bands=8,
+                         k=3, threshold=0.5):
+    """foreachBatch prober for streaming NEAR-dup dedup (VERDICT r4
+    #4): each micro-batch is MinHash-signed, probed against the
+    persistent (band, bucket) signature store of every EARLIER batch,
+    AND self-joined for intra-batch pairs; surviving pairs
+    (est_jaccard >= threshold) land in ``pairs_path`` and the batch's
+    banded signatures are appended to the store. An unordered
+    near-dup pair is emitted exactly once — in the micro-batch where
+    its LATER doc arrives — so the union over batches equals the
+    batch operator (minhash_lsh_pairs + threshold) on the unioned
+    corpus (tested).
+
+    Idempotence: foreachBatch is at-least-once, so BOTH sinks are
+    partitioned by batch_id and written with dynamic-partition
+    overwrite (the stats_batch_writer pattern) — a replayed batch
+    replaces its own partitions, and its store probe filters to
+    batch_id < current so the replay sees exactly the pre-crash
+    store. Exact-Jaccard verification on the emitted candidates
+    composes downstream (dedup.ngram_jaccard_pairs over the corpus
+    table) — the store deliberately holds signatures only, never
+    text, so its footprint is ~300 B/doc at any corpus scale."""
+    from ..operators.dedup import (minhash_band_keys,
+                                   minhash_lsh_pairs,
+                                   minhash_signatures_md5)
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures_md5(
+            batch_df, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, k=k).localCheckpoint()
+        banded = minhash_band_keys(sigs, id_col=id_col,
+                                   num_hashes=num_hashes,
+                                   bands=bands)
+        pairs = (minhash_lsh_pairs(sigs, id_col=id_col,
+                                   num_hashes=num_hashes,
+                                   bands=bands, materialize=False)
+                 .filter(F.col("est_jaccard") >= threshold))
+        from pyspark.errors import AnalysisException
+        try:
+            # raises eagerly (schema inference) when the store does
+            # not exist yet; the probe plan below is lazy and its
+            # errors propagate normally
+            store = (spark.read.parquet(store_path)
+                     .where(F.col("batch_id") < int(batch_id)))
+            new = banded.select(F.col(id_col).alias("n_id"), "band",
+                                "bucket",
+                                F.col("minhash").alias("sig_n"))
+            old = store.select(F.col(id_col).alias("o_id"), "band",
+                               "bucket",
+                               F.col("minhash").alias("sig_o"))
+            match = F.aggregate(
+                F.zip_with("sig_n", "sig_o",
+                           lambda x, y: F.when(x == y, 1)
+                           .otherwise(0)),
+                F.lit(0), lambda acc, v: acc + v)
+            cross = (new.join(old, ["band", "bucket"])
+                     .select(F.least("n_id", "o_id").alias("a"),
+                             F.greatest("n_id", "o_id").alias("b"),
+                             (match / F.size("sig_n"))
+                             .alias("est_jaccard"))
+                     .filter(F.col("est_jaccard") >= threshold)
+                     .distinct())
+            pairs = pairs.union(cross)
+        except AnalysisException:
+            pass    # first batch: no store written yet
+        (pairs.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(pairs_path))
+        (banded.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(store_path))
+
+    return process
+
+
+def streaming_minhash_dedup(spark, docs_path, store_path, pairs_path,
+                            checkpoint_path, schema=None,
+                            text_col="text", id_col="doc_id",
+                            num_hashes=32, bands=8, k=3,
+                            threshold=0.5, max_files_per_trigger=1,
+                            trigger_once=True):
+    """Streaming MinHash-LSH near-dup ingest over an append-only
+    documents table: file-source stream -> minhash_probe_writer.
+    The streaming checkpoint tracks file progress, so a restart (or
+    a grown table) processes only new files and the signature store
+    keeps accumulating — the incremental form of the batch
+    minhash_near_dups operator. A fresh checkpoint_path restarts
+    batch numbering from 0 and must be paired with fresh
+    store/pairs paths."""
+    if schema is None:
+        # the testdata documents-table shape
+        schema = ("doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(docs_path))
+    writer = (stream.writeStream
+              .foreachBatch(minhash_probe_writer(
+                  store_path, pairs_path, text_col=text_col,
+                  id_col=id_col, num_hashes=num_hashes, bands=bands,
+                  k=k, threshold=threshold))
+              .option("checkpointLocation", checkpoint_path))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_signature_store(spark, store_path, target_files=8):
+    """Rewrite the signature store's committed batch partitions into
+    ONE compact partition (batch_id = -1, which every future probe's
+    ``batch_id < current`` filter still includes). Run between
+    streaming runs (stream stopped): compaction keeps probe-side scan
+    cost flat as micro-batches accumulate, and replay idempotence is
+    unaffected because only the in-flight batch ever replays."""
+    from pyspark.sql import functions as F
+    store = spark.read.parquet(store_path)
+    compacted = (store.drop("batch_id")
+                 .withColumn("batch_id", F.lit(-1))
+                 .repartition(target_files)
+                 .localCheckpoint())    # read fully before overwrite
+    (compacted.write.mode("overwrite")
+     .partitionBy("batch_id").parquet(store_path))
+    return compacted.count()

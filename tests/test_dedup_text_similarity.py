@@ -438,3 +438,92 @@ def test_streaming_dedup_watermarked_bounds_state(spark, tmp_path):
     q.awaitTermination(120)
     kept = sorted(spark.read.parquet(out).toPandas()["doc_id"])
     assert kept == [0, 2]
+
+
+def test_streaming_minhash_near_dups_matches_batch(spark, tmp_path):
+    """VERDICT r4 #4: streaming MinHash-LSH ingest over three file
+    deliveries (two stream runs with a checkpoint restart between)
+    flags EXACTLY the pairs the batch operator finds on the unioned
+    corpus — intra-batch pairs, cross-batch probes against the
+    signature store, and pairs whose halves straddle the restart all
+    included. est_jaccard values must be bit-identical (same
+    match-fraction arithmetic both paths)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyshepseg_spark.operators.dedup import (minhash_lsh_pairs,
+                                                 minhash_signatures_md5)
+    from pyshepseg_spark.streaming.dedup import (
+        compact_signature_store, streaming_minhash_dedup)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.toPandas().sort_values("doc_id", ignore_index=True)
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    # deliveries chosen so pairs exist inside a chunk (8,12), across
+    # chunks in one run (0..200 vs 200..350), and across the restart
+    # (e.g. 5-450, 12-360)
+    for chunk in (pdf.iloc[:200], pdf.iloc[200:350]):
+        spark.createDataFrame(chunk).coalesce(1) \
+            .write.mode("append").parquet(src)
+    q = streaming_minhash_dedup(spark, src, store, pairs, ckpt)
+    q.awaitTermination(180)
+    n_first = spark.read.parquet(pairs).count()
+    assert n_first > 0
+
+    # compact the committed store, then deliver the last chunk and
+    # resume from the checkpoint
+    compact_signature_store(spark, store)
+    spark.createDataFrame(pdf.iloc[350:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = streaming_minhash_dedup(spark, src, store, pairs, ckpt)
+    q2.awaitTermination(180)
+
+    got = (spark.read.parquet(pairs)
+           .select("a", "b", "est_jaccard").toPandas()
+           .sort_values(["a", "b"], ignore_index=True))
+    sigs = minhash_signatures_md5(docs, num_hashes=32, k=3)
+    want = (minhash_lsh_pairs(sigs, num_hashes=32, bands=8)
+            .filter(F.col("est_jaccard") >= 0.5).toPandas()
+            .sort_values(["a", "b"], ignore_index=True))
+    assert len(got) > n_first     # restart run found new pairs
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_minhash_probe_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the last micro-batch
+    (crash between the parquet writes and the checkpoint commit)
+    must leave the pairs table AND the signature store byte-for-byte
+    unchanged — both sinks are batch_id-partitioned with
+    dynamic-partition overwrite, and the replayed probe filters the
+    store to earlier batches only."""
+    import pandas as pd
+
+    from pyshepseg_spark.streaming.dedup import minhash_probe_writer
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.toPandas().sort_values("doc_id", ignore_index=True)
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    writer = minhash_probe_writer(store, pairs)
+    b0 = spark.createDataFrame(pdf.iloc[:250])
+    b1 = spark.createDataFrame(pdf.iloc[250:])
+    writer(b0, 0)
+    writer(b1, 1)
+
+    def snap(path, cols):
+        return (spark.read.parquet(path).select(*cols).toPandas()
+                .sort_values(cols, ignore_index=True))
+
+    pair_cols = ["batch_id", "a", "b", "est_jaccard"]
+    store_cols = ["batch_id", "doc_id", "band", "bucket"]
+    pairs1, store1 = snap(pairs, pair_cols), snap(store, store_cols)
+    assert (pairs1["batch_id"] == 1).any()   # cross-batch probe hit
+    writer(b1, 1)                            # the at-least-once replay
+    pd.testing.assert_frame_equal(snap(pairs, pair_cols), pairs1)
+    pd.testing.assert_frame_equal(snap(store, store_cols), store1)

@@ -37,7 +37,9 @@ from functools import lru_cache
 # for the checkpoint-resume flow (plans/checkpoint.py) and
 # metadata-level file skipping for the probe joins.
 #
-# Offline-vendoring status (round 4, 2026-08-17): attempted to fetch
+# Offline-vendoring status (round 4, 2026-08-17; re-probed round 5
+# same day — still no jar on the image, no pyiceberg, no egress):
+# attempted to fetch
 # the public iceberg-spark-runtime jar so the round-trip test could
 # execute in-sandbox; Maven Central is unreachable from this
 # container (curl -> HTTP 000, no egress) and no Iceberg jar exists

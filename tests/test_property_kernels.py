@@ -65,23 +65,30 @@ def test_relabel_makes_ids_contiguous(h, w, seed):
         assert len(np.unique(seg[cells])) == 1
 
 
-@settings(max_examples=6, deadline=None, derandomize=True)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(st.integers(100, 230),                  # image size
        st.sampled_from([(48, 16), (64, 16), (64, 24), (96, 24)]),
-       st.integers(0, 10**6))                  # image seed
-def test_stitch_parity_random_configs(size, tile_overlap, seed):
-    """Randomized (size, tile, overlap, image) stitch parity: the
-    distributed sequential stitch must be BITWISE equal to the
-    reference's own recode chain replayed driver-side
-    (refharness.reference_stitched_mosaic) on every configuration —
-    edge-grown last rows/cols, chains across interior tiles, odd
-    sizes. Complements the fixed 2x2/3x3/4x4/3x2 parity tests."""
+       st.integers(0, 10**6),                  # image seed
+       st.booleans(),                          # four_connected
+       st.sampled_from([0, 3, 17]))            # nodata margin width
+def test_stitch_parity_random_configs(size, tile_overlap, seed,
+                                      four_conn, margin):
+    """Randomized (size, tile, overlap, image, connectivity, nodata
+    margin) stitch parity: the distributed sequential stitch must be
+    BITWISE equal to the reference's own recode chain replayed
+    driver-side (refharness.reference_stitched_mosaic) on every
+    configuration — edge-grown last rows/cols, chains across
+    interior tiles, odd sizes, 4- and 8-connected clumping, and
+    nodata margins wide enough to null whole overlap strips (the
+    reference's null-mode recode quirk). Complements the fixed
+    2x2/3x3/4x4/3x2 parity tests, which pin the last two axes
+    (VERDICT r4 #8)."""
     import pandas as pd
     from pyshepseg_spark import refharness
     from pyshepseg_spark.operators.segment import (
         SegConfig, assemble_image, segment_images_tiled)
     from pyshepseg_spark.session import get_spark
-    from pyshepseg_spark.sources.codec import decode_image
+    from pyshepseg_spark.sources.codec import decode_image, encode_image
     from pyshepseg_spark.sources.imagegen import generate_image
 
     tile, overlap = tile_overlap
@@ -90,10 +97,17 @@ def test_stitch_parity_random_configs(size, tile_overlap, seed):
     spark = get_spark(app_name="prop_stitch", master="local[8]",
                       shuffle_partitions=8)
     row, _ = generate_image(seed % 1000, size=size, seed=seed)
+    if margin:
+        img0 = decode_image(row["bytes"], row["fmt"], size, size)
+        img0[:, :margin, :] = 65535
+        img0[:, -margin:, :] = 65535
+        img0[:, :, :margin] = 65535
+        img0[:, :, -margin:] = 65535
+        row["bytes"] = encode_image(img0, row["fmt"])
     k = int(row["caption"].split(": ")[1].split()[0])
     pdf = pd.DataFrame([row])
     pdf["num_clusters"] = k
-    cfg = SegConfig(img_null_val=65535, four_connected=False,
+    cfg = SegConfig(img_null_val=65535, four_connected=four_conn,
                     min_segment_size=50, tile_size=tile,
                     overlap=overlap)
     final, _, _ = segment_images_tiled(

@@ -33,6 +33,8 @@ def main():
                          "queries() key from __spark_entry__")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--n-images", type=int, default=4)
+    ap.add_argument("--size", type=int, default=512,
+                    help="flagship image edge length in pixels")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,7 +50,8 @@ def main():
         from pyshepseg_spark.sources.imagegen import images_spark_df
         cfg = SegConfig(img_null_val=65535, four_connected=False,
                         tile_size=256, overlap=64)
-        images = images_spark_df(spark, args.n_images, size=512)
+        images = images_spark_df(spark, args.n_images,
+                                 size=args.size)
         # one-linear-job stats path (kernel histograms remapped
         # inside the sequential-exact stitch)
         out = segment_stats_tiled(images, cfg, percentiles=(50,))

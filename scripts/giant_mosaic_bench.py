@@ -14,8 +14,10 @@ This bench times the full pipeline (kernel + stitch + paint) for one
 2048x2048x3 raster (100 tiles at 256/64) at two parallelism levels,
 per mode — the numbers PERF.md cites for the giant-mosaic story.
 
-Usage: python scripts/giant_mosaic_bench.py [size] [reps]
-Never run concurrently with scaling_bench.
+Usage: python scripts/giant_mosaic_bench.py [size] [rounds]
+Configs are interleaved within rounds (see main) so shared-host
+capacity drift cancels; never run concurrently with scaling_bench
+or any other Spark work.
 """
 
 import json
@@ -83,9 +85,13 @@ sys.path.insert(0, {repo!r})
 from pyshepseg_spark.session import get_spark
 from pyshepseg_spark.operators.segment import (SegConfig,
     segment_tiles, stitch)
+from pyshepseg_spark.operators.skew import spread_small_scan
 spark = get_spark(app_name="gianttiles", master="local[{cores}]",
                   shuffle_partitions={cores})
-tiles = spark.read.parquet({path!r})
+# production caller pattern (PERF.md r4): direct segment_tiles
+# callers spread the CPU-heavy tiles scan; file-packing otherwise
+# leaves uneven byte-based splits feeding the kernel stage
+tiles = spread_small_scan(spark.read.parquet({path!r}))
 cfg = SegConfig(img_null_val=65535, four_connected=False,
                 min_segment_size=50, tile_size=256, overlap=64)
 for rep in range({reps} + 1):
@@ -125,9 +131,31 @@ def run(code):
             if ln.startswith("{")]
 
 
+def control_burn():
+    """No-Spark fixed-size kernel burn (bench.control_burn): ~2 s
+    quiet; a round whose burn is far above that was taken in a noisy
+    window and its numbers should be discounted."""
+    code = ("import sys; sys.path.insert(0, {repo!r}); "
+            "from bench import control_burn; "
+            "print(control_burn())").format(repo=REPO)
+    p = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                       capture_output=True, text=True)
+    lines = [ln for ln in p.stdout.splitlines()
+             if ln.replace(".", "").isdigit()]
+    return float(lines[-1]) if lines else -1.0
+
+
 def main():
+    """Interleaved-round structure (the scaling_bench discipline):
+    shared-host capacity drifts on ~10-min scales, so timing each
+    config's reps back-to-back confounds config with window. Instead
+    each ROUND runs every (mode, cores) config once, adjacent in
+    time (fresh JVM each, one in-JVM warmup rep + one timed rep);
+    efficiencies are computed WITHIN each round and the median
+    across rounds is reported, with a per-round control burn so a
+    noisy round is self-evident."""
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "giant.parquet")
         run(GEN.format(repo=REPO, size=size, path=path))
@@ -135,29 +163,43 @@ def main():
         if os.environ.get("GIANT_PRETILED"):
             run(TILES_GEN.format(repo=REPO, img_path=path,
                                  path=tiles_path))
-        out = {}
         cores_list = [int(c) for c in os.environ.get(
             "GIANT_CORES", "8,32").split(",")]
+        modes = os.environ.get("GIANT_MODES",
+                               "sequential,cc").split(",")
         pretiled = bool(os.environ.get("GIANT_PRETILED"))
-        for mode in ("sequential", "cc"):
-            for cores in cores_list:
-                tmpl = TILES_RUNNER if pretiled else RUNNER
-                rows = run(tmpl.format(
-                    repo=REPO,
-                    path=tiles_path if pretiled else path,
-                    cores=cores, mode=mode, reps=reps))
-                med = sorted(r["sec"] for r in rows)[len(rows) // 2]
-                out[f"{mode}@{cores}"] = med
-                print(f"{mode}@{cores}: {med}s "
-                      f"(reps {[r['sec'] for r in rows]})",
-                      flush=True)
-        for mode in ("sequential", "cc"):
+        times = {}     # (mode, cores) -> [sec per round]
+        burns = []
+        for rnd in range(rounds):
+            burns.append(control_burn())
+            for mode in modes:
+                for cores in cores_list:
+                    tmpl = TILES_RUNNER if pretiled else RUNNER
+                    rows = run(tmpl.format(
+                        repo=REPO,
+                        path=tiles_path if pretiled else path,
+                        cores=cores, mode=mode, reps=1))
+                    sec = rows[-1]["sec"]
+                    times.setdefault((mode, cores), []).append(sec)
+                    print(f"round {rnd} {mode}@{cores}: {sec}s "
+                          f"(burn {burns[-1]})", flush=True)
+        out = {}
+        for (mode, cores), ts in times.items():
+            srt = sorted(ts)
+            out[f"{mode}@{cores}"] = srt[len(srt) // 2]
+            out[f"{mode}@{cores}_rounds"] = ts
+        for mode in modes:
             for lo, hi in zip(cores_list, cores_list[1:]):
-                eff = (out[f"{mode}@{lo}"] / out[f"{mode}@{hi}"]
-                       / (hi / lo))
-                out[f"{mode}_{lo}to{hi}_eff"] = round(eff, 3)
+                effs = sorted(
+                    times[(mode, lo)][r] / times[(mode, hi)][r]
+                    / (hi / lo) for r in range(rounds))
+                out[f"{mode}_{lo}to{hi}_eff"] = round(
+                    effs[len(effs) // 2], 3)
+                out[f"{mode}_{lo}to{hi}_eff_rounds"] = [
+                    round(e, 3) for e in effs]
         print(json.dumps({"size": size, "tile": 256, "overlap": 64,
-                          **out}))
+                          "rounds": rounds,
+                          "control_burns": burns, **out}))
 
 
 if __name__ == "__main__":

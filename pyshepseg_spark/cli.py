@@ -53,8 +53,9 @@ def cmd_segment(args):
     # instead of running inside each image's decode task
     centres = (fit_global_centres(images, cfg)
                if args.global_centres else None)
-    final, seg_tiles, _ = segment_images_tiled(images, cfg,
-                                               centres=centres)
+    final, seg_tiles, _ = segment_images_tiled(
+        images, cfg, centres=centres,
+        keep_pixels=not args.no_pixels)
     final.write.mode("overwrite").parquet(args.out)
     print(f"wrote stitched tiles to {args.out}")
 
@@ -163,6 +164,12 @@ def main(argv=None):
                         "spreads tile rows for giant mosaics")
     s.add_argument("--four-connected", default=True,
                    action=argparse.BooleanOptionalAction)
+    s.add_argument("--no-pixels", action="store_true",
+                   help="write segdata only (skip the pixels "
+                        "column): halves the paint stage's moved "
+                        "bytes and the sink size; `stats` on the "
+                        "result is unavailable (use `pipeline` "
+                        "for fused stats)")
     _add_common(s)
     s.set_defaults(fn=cmd_segment)
 

@@ -898,13 +898,20 @@ FINAL_TILE_SCHEMA = (
     "segdata binary, max_final long"
 )
 
+FINAL_TILE_SCHEMA_NOPIX = (
+    "image_id string, tcol int, trow int, xout int, yout int, "
+    "out_xsize int, out_ysize int, nbands int, "
+    "segdata binary, max_final long"
+)
+
 HIST_COL = (", hist array<struct<seg_id:long, band:int, val:long, "
             "cnt:long>>")
 
 
 def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
                       with_histogram: bool = False,
-                      img_null_val: int | None = None):
+                      img_null_val: int | None = None,
+                      keep_pixels: bool = True):
     """Apply gid->final mapping to each tile and trim to its core
     (margin = overlap/2, mosaic edges untrimmed; tiling.py:959,
     996-1022).
@@ -918,7 +925,17 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
     with_histogram=True additionally attaches the tile's partial
     (seg, band, value) histogram to each output row, so the zonal
     stage never re-reads the fat tiles (A3 fused into the paint
-    pass)."""
+    pass).
+
+    keep_pixels=False drops the pixels column from the output —
+    segmentation-only consumers (the painted-mosaic sink, subset
+    recodes) otherwise pay a second decode+memcpy+Arrow transfer of
+    the full imagery just to discard it. The paint stage is
+    memcpy-bound (PERF.md round-5 stage split), so this roughly
+    halves its moved bytes AND the sink's written bytes; zonal stats
+    on RESTORED final tiles need pixels, so the default keeps them
+    (the fused with_histogram path already carries the stats
+    instead)."""
     margin = overlap // 2
     keys = ["image_id", "tcol", "trow"]
     # the mapping already carries its tile key (build_mapping): one
@@ -947,9 +964,11 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
                     (0 if g == 0 else lut.get(int(g), 0) for g in u),
                     dtype=np.int64, count=len(u))
                 final = mapped[inv].reshape(core.shape)
-                pix = decode_tile_pixels(row.pixels, row.nbands,
-                                         row.ysize, row.xsize)
-                pix_core = pix[:, top:bottom, left:right]
+                pix_core = None
+                if keep_pixels or with_histogram:
+                    pix = decode_tile_pixels(row.pixels, row.nbands,
+                                             row.ysize, row.xsize)
+                    pix_core = pix[:, top:bottom, left:right]
                 rec = {
                     "image_id": row.image_id,
                     "tcol": row.tcol, "trow": row.trow,
@@ -957,11 +976,12 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
                     "out_xsize": right - left,
                     "out_ysize": bottom - top,
                     "nbands": row.nbands,
-                    "pixels": np.ascontiguousarray(
-                        pix_core.astype("<u2")).tobytes(),
                     "segdata": final.astype("<i8").tobytes(),
                     "max_final": int(final.max()) if final.size else 0,
                 }
+                if keep_pixels:
+                    rec["pixels"] = np.ascontiguousarray(
+                        pix_core.astype("<u2")).tobytes()
                 if with_histogram:
                     hist = []
                     segf = final.ravel()
@@ -983,20 +1003,25 @@ def paint_final_tiles(seg_tiles_off, mapping, overlap: int,
                     rec["hist"] = hist
                 out.append(rec)
             cols = ["image_id", "tcol", "trow", "xout", "yout",
-                    "out_xsize", "out_ysize", "nbands", "pixels",
-                    "segdata", "max_final"]
+                    "out_xsize", "out_ysize", "nbands"]
+            if keep_pixels:
+                cols.append("pixels")
+            cols += ["segdata", "max_final"]
             if with_histogram:
                 cols.append("hist")
             yield pd.DataFrame(out, columns=cols)
 
-    schema = FINAL_TILE_SCHEMA + (HIST_COL if with_histogram else "")
+    schema = (FINAL_TILE_SCHEMA if keep_pixels
+              else FINAL_TILE_SCHEMA_NOPIX)
+    schema += HIST_COL if with_histogram else ""
     return joined.mapInPandas(kernel, schema)
 
 
 def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
                          with_histogram: bool = False,
                          validate: bool = True,
-                         mode: str = "sequential"):
+                         mode: str = "sequential",
+                         keep_pixels: bool = True):
     """Full pipeline: images -> final stitched seg tiles.
 
     Returns (final_tiles_df, seg_tiles_df, centres). seg_tiles_df is
@@ -1040,12 +1065,13 @@ def segment_images_tiled(images_df, cfg: SegConfig, centres=None,
             explode_tiles(images_df, cfg.tile_size, cfg.overlap))
         seg_tiles = segment_tiles(tiles, centres, cfg)
     final = stitch(seg_tiles, cfg, with_histogram=with_histogram,
-                   mode=mode)
+                   mode=mode, keep_pixels=keep_pixels)
     return final, seg_tiles, centres
 
 
 def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
-           simple_recode: bool = False, mode: str = "sequential"):
+           simple_recode: bool = False, mode: str = "sequential",
+           keep_pixels: bool = True):
     """Stitch phase on a (possibly checkpoint-restored) seg_tiles.
 
     localCheckpoint materializes the expensive kernel output exactly
@@ -1093,7 +1119,8 @@ def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
         mapping = build_mapping(meta, cc)
     return paint_final_tiles(st, mapping, cfg.overlap,
                              with_histogram=with_histogram,
-                             img_null_val=cfg.img_null_val)
+                             img_null_val=cfg.img_null_val,
+                             keep_pixels=keep_pixels)
 
 
 # ---------------------------------------------------------------------------

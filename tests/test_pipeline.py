@@ -554,3 +554,23 @@ def test_giant_mosaic_shared_centres_paths_agree(spark,
             assert np.allclose(a, b, equal_nan=True), c
         else:
             assert (a == b).all(), c
+
+
+def test_keep_pixels_false_drops_column_keeps_segdata(
+        spark, images_fixture, cfg, final_tiles):
+    """keep_pixels=False (the segdata-only sink path) must drop ONLY
+    the pixels column — identical segmentation, identical tile
+    geometry — since the paint stage is memcpy-bound and
+    segmentation-only consumers shouldn't move imagery they drop."""
+    _, _, images = images_fixture
+    from pyshepseg_spark.operators.segment import segment_images_tiled
+    nopix, _, _ = segment_images_tiled(images, cfg,
+                                       keep_pixels=False)
+    assert "pixels" not in nopix.columns
+    keys = ["image_id", "tcol", "trow"]
+    got = (nopix.select(*keys, "xout", "yout", "segdata")
+           .toPandas().sort_values(keys, ignore_index=True))
+    want = (final_tiles.select(*keys, "xout", "yout", "segdata")
+            .toPandas().sort_values(keys, ignore_index=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)

@@ -91,6 +91,13 @@ def control_burn():
 
 
 def _median_time(fn, reps):
+    """(median, raw reps). The headline per-query stat is the
+    median; the JSON also records per-query MINs because on this
+    host steal bursts can inflate ONE rep 10-30x (measured: 34.9 s
+    on a ~3 s query), which poisons even a median-of-3 — and for
+    deterministic work under purely additive noise the min is the
+    robust regression statistic (bench_regression_check compares
+    mins when both records carry them)."""
     ts = []
     for _ in range(reps):
         t0 = time.time()
@@ -179,17 +186,19 @@ def main():
     sf_s = sf_dir.rstrip("/").split("sf")[-1]
     sf = float(sf_s) if sf_s.replace(".", "").isdigit() else 0.1
 
-    times, spreads = {}, {}
+    times, mins, spreads = {}, {}, {}
     for name in HEADLINE:
         med, ts = _median_time(
             lambda: _materialize(qs[name](spark, sf_dir)), reps)
         times[name] = med
+        mins[name] = round(min(ts), 3)
         spreads[name] = round(max(ts) / max(min(ts), 1e-9), 2)
 
     images, scaled = scaled_image_dedup_queries(spark, sf, cpus)
     for name, build in scaled.items():
         med, ts = _median_time(lambda: _materialize(build()), reps)
         times[name] = med
+        mins[name] = round(min(ts), 3)
         spreads[name] = round(max(ts) / max(min(ts), 1e-9), 2)
     images.unpersist()
 
@@ -198,6 +207,7 @@ def main():
     seg = run_segmentation_bench(spark, n_images, img_size, cpus,
                                  reps)
     times["segmentation_pipeline"] = seg["wall_sec"]
+    mins["segmentation_pipeline"] = round(min(seg["rep_secs"]), 3)
 
     burns.append(control_burn())
 
@@ -208,6 +218,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_min": mins,
         "sf": sf,
         "cpus": cpus,
         "reps": reps,

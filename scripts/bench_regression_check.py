@@ -30,7 +30,12 @@ def latest_baseline(repo):
         return None, None
     with open(benches[-1]) as f:
         d = json.load(f)
-    q = (d.get("parsed") or d).get("queries", {})
+    parsed = d.get("parsed") or d
+    # prefer per-query MINs (noise-robust for deterministic work on
+    # a steal-prone host: one burst can inflate a rep 10-30x, which
+    # poisons medians on EITHER side of the comparison); fall back
+    # to medians for records that predate queries_min
+    q = parsed.get("queries_min") or parsed.get("queries", {})
     return os.path.basename(benches[-1]), q
 
 
@@ -38,7 +43,8 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     raw = (open(sys.argv[1]).read() if len(sys.argv) > 1
            else sys.stdin.read())
-    cur = json.loads(raw.strip().splitlines()[-1])["queries"]
+    rec = json.loads(raw.strip().splitlines()[-1])
+    cur = rec.get("queries_min") or rec["queries"]
     base_name, base = latest_baseline(repo)
     if base is None:
         print("no BENCH_r*.json baseline found; nothing to compare")

@@ -46,13 +46,13 @@ t0 = time.time()
 centres = fit_global_centres(images, cfg)
 fit_sec = round(time.time() - t0, 2)
 # warmup (JVM + python workers), then timed reps
-for rep in range({reps} + 1):
+for rep in range({reps} + {warmups}):
     t0 = time.time()
     final, _, _ = segment_images_tiled(images, cfg, centres=centres,
                                        mode={mode!r})
     n = final.count()
     dt = time.time() - t0
-    if rep > 0:
+    if rep >= {warmups}:
         print(json.dumps({{"mode": {mode!r}, "cores": {cores},
                            "rep": rep, "sec": round(dt, 2),
                            "fit_sec": fit_sec,
@@ -94,13 +94,13 @@ spark = get_spark(app_name="gianttiles", master="local[{cores}]",
 tiles = spread_small_scan(spark.read.parquet({path!r}))
 cfg = SegConfig(img_null_val=65535, four_connected=False,
                 min_segment_size=50, tile_size=256, overlap=64)
-for rep in range({reps} + 1):
+for rep in range({reps} + {warmups}):
     t0 = time.time()
     final = stitch(segment_tiles(tiles, None, cfg), cfg,
                    mode={mode!r})
     n = final.count()
     dt = time.time() - t0
-    if rep > 0:
+    if rep >= {warmups}:
         print(json.dumps({{"mode": {mode!r}, "cores": {cores},
                            "rep": rep, "sec": round(dt, 2),
                            "rows": n}}), flush=True)
@@ -150,12 +150,17 @@ def main():
     shared-host capacity drifts on ~10-min scales, so timing each
     config's reps back-to-back confounds config with window. Instead
     each ROUND runs every (mode, cores) config once, adjacent in
-    time (fresh JVM each, one in-JVM warmup rep + one timed rep);
+    time (fresh JVM each, GIANT_WARMUPS in-JVM warmup reps + one
+    timed rep);
     efficiencies are computed WITHIN each round and the median
     across rounds is reported, with a per-round control burn so a
     noisy round is self-evident."""
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # r5 stage data showed ONE in-JVM warmup rep leaves JIT
+    # incomplete (mapping stage 31 s on rep 1 vs 7.3 s steady);
+    # default 2, tunable for quick scans
+    warmups = int(os.environ.get("GIANT_WARMUPS", "2"))
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "giant.parquet")
         run(GEN.format(repo=REPO, size=size, path=path))
@@ -178,7 +183,8 @@ def main():
                     rows = run(tmpl.format(
                         repo=REPO,
                         path=tiles_path if pretiled else path,
-                        cores=cores, mode=mode, reps=1))
+                        cores=cores, mode=mode, reps=1,
+                        warmups=warmups))
                     sec = rows[-1]["sec"]
                     times.setdefault((mode, cores), []).append(sec)
                     print(f"round {rnd} {mode}@{cores}: {sec}s "

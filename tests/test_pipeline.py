@@ -574,3 +574,32 @@ def test_keep_pixels_false_drops_column_keeps_segdata(
             .toPandas().sort_values(keys, ignore_index=True))
     import pandas as pd
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_keep_pixels_false_with_histogram(spark, images_fixture, cfg):
+    """with_histogram=True needs the imagery INSIDE the paint kernel
+    but must still honour keep_pixels=False on the output: hist
+    attached, pixels column absent, hist identical to the default
+    path."""
+    _, _, images = images_fixture
+    from pyshepseg_spark.operators.segment import segment_images_tiled
+    nopix, _, _ = segment_images_tiled(
+        images, cfg, with_histogram=True, keep_pixels=False)
+    withpix, _, _ = segment_images_tiled(
+        images, cfg, with_histogram=True, keep_pixels=True)
+    assert "pixels" not in nopix.columns
+    assert "hist" in nopix.columns
+    from pyspark.sql import functions as F
+
+    def hist_rows(df):
+        return (df.select("image_id",
+                          F.explode("hist").alias("h"))
+                .select("image_id", "h.seg_id", "h.band", "h.val",
+                        "h.cnt")
+                .toPandas()
+                .sort_values(["image_id", "seg_id", "band", "val"],
+                             ignore_index=True))
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(hist_rows(nopix),
+                                  hist_rows(withpix))

@@ -275,6 +275,23 @@ def simhash(docs, text_col="text", id_col="doc_id", k=3):
                        .alias("simhash"))
 
 
+def simhash_block_keys(sim, id_col="doc_id", blocks=4,
+                       hash_bits=64):
+    """One row per (doc, block) with key = that block's bit slice of
+    the simhash. Shared by the batch self-join (simhash_near_dups)
+    and the streaming signature store (streaming/dedup.py) so both
+    derive IDENTICAL pigeonhole block keys. Callers own the
+    blocks/max_hamming recall validation (simhash_near_dups)."""
+    width = hash_bits // blocks
+    mask = (1 << width) - 1
+    return sim.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned("simhash", i * width)
+             .bitwiseAND(F.lit(mask))) for i in range(blocks)
+        ])).alias("block", "key"))
+
+
 def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
                       blocks=4, hash_bits=64,
                       allow_recall_loss=False):
@@ -300,14 +317,8 @@ def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
             f"recall guarantee needs blocks >= max_hamming + 1 "
             f"(got blocks={blocks}, max_hamming={max_hamming}); pass "
             "allow_recall_loss=True for best-effort blocking")
-    width = hash_bits // blocks
-    mask = (1 << width) - 1
-    exploded = sim.select(
-        id_col, "simhash",
-        F.posexplode(F.array(*[
-            (F.shiftrightunsigned("simhash", i * width)
-             .bitwiseAND(F.lit(mask))) for i in range(blocks)
-        ])).alias("block", "key"))
+    exploded = simhash_block_keys(sim, id_col=id_col, blocks=blocks,
+                                  hash_bits=hash_bits)
     a = exploded.select(F.col(id_col).alias("a"), "block", "key",
                         F.col("simhash").alias("h_a"))
     b = exploded.select(F.col(id_col).alias("b"), "block", "key",

@@ -178,6 +178,102 @@ def streaming_minhash_dedup(spark, docs_path, store_path, pairs_path,
     return writer.start()
 
 
+def simhash_probe_writer(store_path, pairs_path, text_col="text",
+                         id_col="doc_id", max_hamming=3, blocks=4,
+                         hash_bits=28, k=3):
+    """foreachBatch prober for streaming SimHash near-dup dedup — the
+    pigeonhole-blocked Hamming twin of :func:`minhash_probe_writer`.
+    Each micro-batch is simhashed (the oracle-able md5-28bit form by
+    default), intra-batch pairs come from the batch operator
+    (simhash_near_dups — which also enforces the
+    blocks >= max_hamming + 1 recall guarantee), cross-batch pairs
+    from probing the persistent (block, key) store of every EARLIER
+    batch with the same bit_count(xor) Hamming verify. The store
+    holds (id, simhash, block, key) only — ~40 B/doc, never text.
+
+    Idempotence contract identical to the MinHash prober: both sinks
+    batch_id-partitioned + dynamic-partition overwrite, probe
+    filtered to batch_id < current, so an at-least-once replay is a
+    byte-identical rewrite. The union over batches equals
+    simhash_near_dups on the unioned corpus (tested): an unordered
+    pair is emitted exactly once, in its LATER doc's micro-batch."""
+    from ..operators.dedup import (simhash_block_keys, simhash_md5,
+                                   simhash_near_dups)
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sim = simhash_md5(batch_df, text_col=text_col, id_col=id_col,
+                          k=k, hash_bits=hash_bits).localCheckpoint()
+        blocked = simhash_block_keys(sim, id_col=id_col,
+                                     blocks=blocks,
+                                     hash_bits=hash_bits)
+        pairs = simhash_near_dups(sim, id_col=id_col,
+                                  max_hamming=max_hamming,
+                                  blocks=blocks, hash_bits=hash_bits)
+        from pyspark.errors import AnalysisException
+        try:
+            # raises eagerly (schema inference) when the store does
+            # not exist yet; the probe plan below is lazy
+            store = (spark.read.parquet(store_path)
+                     .where(F.col("batch_id") < int(batch_id)))
+            new = blocked.select(F.col(id_col).alias("n_id"),
+                                 "block", "key",
+                                 F.col("simhash").alias("h_n"))
+            old = store.select(F.col(id_col).alias("o_id"),
+                               "block", "key",
+                               F.col("simhash").alias("h_o"))
+            ham = F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_o")))
+            cross = (new.join(old, ["block", "key"])
+                     .select(F.least("n_id", "o_id").alias("a"),
+                             F.greatest("n_id", "o_id").alias("b"),
+                             ham.alias("hamming"))
+                     .filter(F.col("hamming") <= max_hamming)
+                     .distinct())
+            pairs = pairs.union(cross)
+        except AnalysisException:
+            pass    # first batch: no store written yet
+        (pairs.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(pairs_path))
+        (blocked.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(store_path))
+
+    return process
+
+
+def streaming_simhash_dedup(spark, docs_path, store_path, pairs_path,
+                            checkpoint_path, schema=None,
+                            text_col="text", id_col="doc_id",
+                            max_hamming=3, blocks=4, hash_bits=28,
+                            k=3, max_files_per_trigger=1,
+                            trigger_once=True):
+    """Streaming SimHash near-dup ingest over an append-only
+    documents table: file-source stream -> simhash_probe_writer.
+    Incremental form of the batch simhash_near_dups operator; same
+    restart/compaction contract as streaming_minhash_dedup (the
+    signature store compacts with compact_signature_store)."""
+    if schema is None:
+        schema = ("doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(docs_path))
+    writer = (stream.writeStream
+              .foreachBatch(simhash_probe_writer(
+                  store_path, pairs_path, text_col=text_col,
+                  id_col=id_col, max_hamming=max_hamming,
+                  blocks=blocks, hash_bits=hash_bits, k=k))
+              .option("checkpointLocation", checkpoint_path))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_signature_store(spark, store_path, target_files=8):
     """Rewrite the signature store's committed batch partitions into
     ONE compact partition (batch_id = -1, which every future probe's

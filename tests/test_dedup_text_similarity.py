@@ -494,6 +494,61 @@ def test_streaming_minhash_near_dups_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_streaming_simhash_near_dups_matches_batch(spark, tmp_path):
+    """Streaming SimHash ingest (pigeonhole-blocked Hamming) over
+    three file deliveries with a checkpoint restart and a store
+    compaction between runs flags EXACTLY the pairs the batch
+    operator finds on the unioned corpus, hamming values identical;
+    a further restart with no new files must be a no-op (checkpoint
+    tracks file progress)."""
+    import pandas as pd
+
+    from pyshepseg_spark.operators.dedup import (simhash_md5,
+                                                 simhash_near_dups)
+    from pyshepseg_spark.streaming.dedup import (
+        compact_signature_store, streaming_simhash_dedup)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.toPandas().sort_values("doc_id", ignore_index=True)
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    for chunk in (pdf.iloc[:200], pdf.iloc[200:350]):
+        spark.createDataFrame(chunk).coalesce(1) \
+            .write.mode("append").parquet(src)
+    q = streaming_simhash_dedup(spark, src, store, pairs, ckpt)
+    q.awaitTermination(180)
+    n_first = spark.read.parquet(pairs).count()
+    assert n_first > 0
+
+    compact_signature_store(spark, store)
+    spark.createDataFrame(pdf.iloc[350:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = streaming_simhash_dedup(spark, src, store, pairs, ckpt)
+    q2.awaitTermination(180)
+
+    def snap():
+        return (spark.read.parquet(pairs)
+                .select("a", "b", "hamming").toPandas()
+                .sort_values(["a", "b"], ignore_index=True))
+
+    got = snap()
+    want = (simhash_near_dups(simhash_md5(docs, k=3), max_hamming=3,
+                              blocks=4, hash_bits=28).toPandas()
+            .sort_values(["a", "b"], ignore_index=True))
+    assert len(got) > n_first     # restart run found new pairs
+    pd.testing.assert_frame_equal(got, want)
+
+    # restart with nothing new delivered: no batch fires, sinks
+    # byte-identical
+    q3 = streaming_simhash_dedup(spark, src, store, pairs, ckpt)
+    q3.awaitTermination(120)
+    pd.testing.assert_frame_equal(snap(), got)
+
+
 def test_minhash_probe_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying the last micro-batch
     (crash between the parquet writes and the checkpoint commit)

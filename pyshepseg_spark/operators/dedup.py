@@ -380,19 +380,15 @@ def duplicate_groups(pairs, a_col="a", b_col="b"):
     return lab.join(rep, "root").select("doc_id", "group_rep")
 
 
-def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",
-                        threshold=0.95, bits=16, bands=4, seed=42):
-    """Embedding-cosine near-dup via BANDED random-hyperplane LSH:
-    sign sketch (``bits`` planes) split into ``bands`` band keys ->
-    equi-join per (band, key) -> exact cosine verify on candidates.
-
-    Recall math (sim = cos, agree p = 1 - acos(sim)/pi): a single
-    monolithic sketch needs ALL bits equal (p^bits — at cos 0.95 and
-    16 bits that is ~0.18 recall); banding needs all bits equal in
-    ANY ONE band (1 - (1 - p^(bits/bands))^bands — same config ~0.99).
-    More bands = higher recall and more candidates to verify; the
-    shuffle stays proportional to candidate count, never all-pairs.
-    bits must divide evenly by bands."""
+def hyperplane_band_keys(emb, id_col="vec_id", vec_col="embedding",
+                         bits=16, bands=4, seed=42):
+    """One row per (vector, band) with key = that band's slice of the
+    random-hyperplane sign sketch. Shared by the batch self-join
+    (embedding_near_dups) and the streaming sketch store
+    (streaming/dedup.py): the planes are a deterministic function of
+    (seed, dim), so equal inputs derive IDENTICAL keys across
+    batches. The sketch is a vectorized pandas UDF (one matmul per
+    Arrow batch); the band split is JVM bit arithmetic."""
     if bits % bands != 0:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
     width = bits // bands
@@ -413,24 +409,37 @@ def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",
     mask = (1 << width) - 1
     sk0 = emb.select(id_col, vec_col,
                      sketch(F.col(vec_col)).alias("sk"))
-    sk = sk0.select(id_col, vec_col,
-                    F.posexplode(F.array(*[
-                        (F.shiftrightunsigned("sk", j * width)
-                         .bitwiseAND(F.lit(mask)))
-                        for j in range(bands)])).alias("band", "key"))
+    return sk0.select(id_col, vec_col,
+                      F.posexplode(F.array(*[
+                          (F.shiftrightunsigned("sk", j * width)
+                           .bitwiseAND(F.lit(mask)))
+                          for j in range(bands)])).alias("band",
+                                                         "key"))
+
+
+def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",
+                        threshold=0.95, bits=16, bands=4, seed=42):
+    """Embedding-cosine near-dup via BANDED random-hyperplane LSH:
+    sign sketch (``bits`` planes) split into ``bands`` band keys ->
+    equi-join per (band, key) -> exact cosine verify on candidates.
+
+    Recall math (sim = cos, agree p = 1 - acos(sim)/pi): a single
+    monolithic sketch needs ALL bits equal (p^bits — at cos 0.95 and
+    16 bits that is ~0.18 recall); banding needs all bits equal in
+    ANY ONE band (1 - (1 - p^(bits/bands))^bands — same config ~0.99).
+    More bands = higher recall and more candidates to verify; the
+    shuffle stays proportional to candidate count, never all-pairs.
+    bits must divide evenly by bands."""
+    from .similarity import cosine_expr
+    sk = hyperplane_band_keys(emb, id_col=id_col, vec_col=vec_col,
+                              bits=bits, bands=bands, seed=seed)
     a = sk.select(F.col(id_col).alias("a"), "band", "key",
                   F.col(vec_col).alias("v_a"))
     b = sk.select(F.col(id_col).alias("b"), "band", "key",
                   F.col(vec_col).alias("v_b"))
-    dot = F.aggregate(F.zip_with("v_a", "v_b",
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform("v_a", lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform("v_b", lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
     # verify before distinct: the dedup shuffles (a, b, cosine) only
     return (a.join(b, ["band", "key"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b", (dot / (na * nb)).alias("cosine"))
+            .select("a", "b",
+                    cosine_expr("v_a", "v_b").alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .distinct())

@@ -28,6 +28,13 @@ def _norm(a):
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+def cosine_expr(a, b):
+    """Cosine similarity Column between two array<float/double>
+    columns — JVM-side HOF fold, shared by the top-k operators here
+    and the embedding near-dup verify (batch + streaming)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
 def brute_force_topk(queries, corpus, k=5,
                      q_id="q_id", c_id="vec_id",
                      q_vec="embedding", c_vec="embedding"):

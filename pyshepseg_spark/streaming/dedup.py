@@ -274,6 +274,120 @@ def streaming_simhash_dedup(spark, docs_path, store_path, pairs_path,
     return writer.start()
 
 
+def embedding_probe_writer(sketch_path, vec_path, pairs_path,
+                           id_col="vec_id", vec_col="embedding",
+                           threshold=0.95, bits=16, bands=4,
+                           seed=42):
+    """foreachBatch prober for streaming embedding-cosine near-dup —
+    completing the streaming triad (MinHash, SimHash, hyperplane
+    LSH). Unlike the text probers, the exact verify needs the FULL
+    vectors, which are ~100x the sketch size — so the state splits
+    into TWO stores instead of one: a sketch store (id, band, key —
+    ~12 B/row, the probe join side) and a vector store (id, vec —
+    written once per doc, fetched only for candidate pairs). Storing
+    vectors per banded row, the single-store layout the text probers
+    use, would multiply the dominant footprint by ``bands``.
+
+    Per micro-batch: intra-batch pairs from the batch operator
+    (embedding_near_dups), cross-batch candidates from new band keys
+    ⨝ old sketch store, vectors joined back for the candidates only,
+    cosine >= threshold verified with the same cosine_expr as every
+    batch operator. Idempotence contract identical to the other
+    probers (batch_id partitions + dynamic overwrite + probe
+    filtered to batch_id < current). The hyperplane planes are a
+    deterministic function of (seed, dim), so every batch derives
+    identical keys; the embedding dimension must be constant across
+    the stream."""
+    from ..operators.dedup import (embedding_near_dups,
+                                   hyperplane_band_keys)
+    from ..operators.similarity import cosine_expr
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        banded = hyperplane_band_keys(
+            batch_df, id_col=id_col, vec_col=vec_col, bits=bits,
+            bands=bands, seed=seed).localCheckpoint()
+        pairs = embedding_near_dups(batch_df, id_col=id_col,
+                                    vec_col=vec_col,
+                                    threshold=threshold, bits=bits,
+                                    bands=bands, seed=seed)
+        from pyspark.errors import AnalysisException
+        try:
+            sketches = (spark.read.parquet(sketch_path)
+                        .where(F.col("batch_id") < int(batch_id)))
+            old_vecs = (spark.read.parquet(vec_path)
+                        .where(F.col("batch_id") < int(batch_id))
+                        .select(F.col(id_col).alias("o_id"),
+                                F.col(vec_col).alias("v_o")))
+            new_keys = banded.select(F.col(id_col).alias("n_id"),
+                                     "band", "key")
+            old_keys = sketches.select(F.col(id_col).alias("o_id"),
+                                       "band", "key")
+            # candidates deduped BEFORE the vector fetch: each pair
+            # pays for its two vectors + one cosine exactly once
+            cand = (new_keys.join(old_keys, ["band", "key"])
+                    .select("n_id", "o_id").distinct())
+            new_vecs = batch_df.select(F.col(id_col).alias("n_id"),
+                                       F.col(vec_col).alias("v_n"))
+            cross = (cand.join(new_vecs, "n_id")
+                     .join(old_vecs, "o_id")
+                     .select(F.least("n_id", "o_id").alias("a"),
+                             F.greatest("n_id", "o_id").alias("b"),
+                             cosine_expr("v_n", "v_o")
+                             .alias("cosine"))
+                     .filter(F.col("cosine") >= threshold))
+            pairs = pairs.union(cross)
+        except AnalysisException:
+            pass    # first batch: no stores written yet
+        (pairs.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(pairs_path))
+        (banded.drop(vec_col)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(sketch_path))
+        (batch_df.select(id_col, vec_col)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(vec_path))
+
+    return process
+
+
+def streaming_embedding_dedup(spark, emb_path, sketch_path, vec_path,
+                              pairs_path, checkpoint_path,
+                              schema=None, id_col="vec_id",
+                              vec_col="embedding", threshold=0.95,
+                              bits=16, bands=4, seed=42,
+                              max_files_per_trigger=1,
+                              trigger_once=True):
+    """Streaming embedding near-dup ingest over an append-only
+    embeddings table: file-source stream -> embedding_probe_writer.
+    Incremental form of the batch embedding_near_dups operator; same
+    restart contract as the other streaming dedup wrappers. Both
+    stores compact with compact_signature_store."""
+    if schema is None:
+        # the testdata embeddings-table shape
+        schema = "vec_id long, embedding array<float>, label int"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(emb_path))
+    writer = (stream.writeStream
+              .foreachBatch(embedding_probe_writer(
+                  sketch_path, vec_path, pairs_path, id_col=id_col,
+                  vec_col=vec_col, threshold=threshold, bits=bits,
+                  bands=bands, seed=seed))
+              .option("checkpointLocation", checkpoint_path))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_signature_store(spark, store_path, target_files=8):
     """Rewrite the signature store's committed batch partitions into
     ONE compact partition (batch_id = -1, which every future probe's

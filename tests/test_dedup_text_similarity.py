@@ -549,6 +549,80 @@ def test_streaming_simhash_near_dups_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(snap(), got)
 
 
+def test_streaming_embedding_near_dups_matches_batch(spark, tmp_path):
+    """Streaming hyperplane-LSH embedding ingest over three file
+    deliveries (restart between #2 and #3) flags EXACTLY the pairs
+    the batch operator finds on the unioned corpus. Planted
+    scaled-copy near-dups (cosine == 1, same recipe as the
+    embedding_near_dups_lsh contract query) are arranged so pairs
+    occur intra-batch (two copies in one delivery), cross-batch via
+    the sketch+vector stores, and across the checkpoint restart."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyshepseg_spark.operators.dedup import embedding_near_dups
+    from pyshepseg_spark.streaming.dedup import (
+        streaming_embedding_dedup)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+
+    def planted(lo, hi, offset, scale):
+        return (emb.filter((F.col("vec_id") >= lo)
+                           & (F.col("vec_id") < hi))
+                .select((F.col("vec_id") + offset).alias("vec_id"),
+                        F.transform("embedding",
+                                    lambda x: x * F.lit(scale))
+                        .cast("array<float>")
+                        .alias("embedding"), "label"))
+
+    src = str(tmp_path / "emb")
+    sketch = str(tmp_path / "sketch")
+    vecs = str(tmp_path / "vecs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    # delivery 1: originals 0..299; delivery 2: originals 300..499
+    # + copies of 0..9 (cross-batch pairs) + a SECOND copy of 0..4
+    # (intra-batch pairs among the two copy families); delivery 3
+    # (after restart): copies of 10..19 (pairs across the restart)
+    chunks = [
+        emb.filter(F.col("vec_id") < 300),
+        (emb.filter(F.col("vec_id") >= 300)
+         .unionByName(planted(0, 10, 1_000_000, 1.0001))
+         .unionByName(planted(0, 5, 2_000_000, 1.0002))),
+        planted(10, 20, 1_000_000, 1.0001),
+    ]
+    for c in chunks[:2]:
+        c.coalesce(1).write.mode("append").parquet(src)
+    kw = dict(threshold=0.999, bits=24, bands=3)
+    q = streaming_embedding_dedup(spark, src, sketch, vecs, pairs,
+                                  ckpt, **kw)
+    q.awaitTermination(180)
+    n_first = spark.read.parquet(pairs).count()
+    assert n_first > 0
+    chunks[2].coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_embedding_dedup(spark, src, sketch, vecs, pairs,
+                                   ckpt, **kw)
+    q2.awaitTermination(180)
+
+    got = (spark.read.parquet(pairs)
+           .select("a", "b", "cosine").toPandas()
+           .sort_values(["a", "b"], ignore_index=True))
+    # batch twin on the SAME parquet bytes the stream consumed
+    want = (embedding_near_dups(spark.read.parquet(src), **kw)
+            .toPandas().sort_values(["a", "b"], ignore_index=True))
+    assert len(got) > n_first     # restart run found new pairs
+    # expected pair families all present: intra-batch (1M vs 2M
+    # copies), cross-batch (orig vs copy), across-restart (10..19)
+    a, b = got["a"], got["b"]
+    assert ((a >= 1_000_000) & (a < 2_000_000) & (b >= 2_000_000)
+            ).any()
+    assert ((a < 20) & (b >= 1_000_000)).any()
+    assert ((a >= 10) & (a < 20) & (b >= 1_000_000)
+            & (b < 1_000_020)).any()
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_minhash_probe_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying the last micro-batch
     (crash between the parquet writes and the checkpoint commit)

@@ -30,11 +30,20 @@ NBANDS = 3
 
 def voronoi_truth(w, h, centres):
     """Ground-truth segment raster: nearest-centre (squared distance,
-    ties -> lowest centre index), IDs 1..K, null margin = 0."""
-    yy, xx = np.mgrid[0:h, 0:w]
-    pts = np.stack([xx.ravel(), yy.ravel()], axis=1).astype(np.float64)
-    d = ((pts[:, None, :] - centres[None, :, :]) ** 2).sum(axis=2)
-    truth = (np.argmin(d, axis=1) + 1).astype(np.uint32).reshape(h, w)
+    ties -> lowest centre index), IDs 1..K, null margin = 0.
+    Computed in row blocks: the naive (w*h, k, 2) float64 broadcast
+    is ~100 GB for a 16384^2 giant-mosaic fixture; per-pixel argmin
+    is block-independent, so chunking is bit-identical."""
+    truth = np.empty((h, w), dtype=np.uint32)
+    block = max(1, (1 << 22) // max(w, 1))    # ~4M px per block
+    for y0 in range(0, h, block):
+        y1 = min(y0 + block, h)
+        yy, xx = np.mgrid[y0:y1, 0:w]
+        pts = np.stack([xx.ravel(), yy.ravel()],
+                       axis=1).astype(np.float64)
+        d = ((pts[:, None, :] - centres[None, :, :]) ** 2).sum(axis=2)
+        truth[y0:y1] = (np.argmin(d, axis=1) + 1) \
+            .astype(np.uint32).reshape(y1 - y0, w)
     truth[:NULL_MARGIN, :] = 0
     truth[-NULL_MARGIN:, :] = 0
     truth[:, :NULL_MARGIN] = 0

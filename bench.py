@@ -13,10 +13,12 @@ images table, and prints ONE JSON line:
 
 Noise discipline (VERDICT r4 #1): this host has heavy steal-noise —
 BENCH_r04's single-shot timing misreported one query by 6.9x. Every
-query is therefore timed REPS times (default 3) and the MEDIAN
-reported; the segmentation pipeline likewise. A fixed-size no-Spark
-kernel burn (the same decode+fit+segment chain scaling_bench.py uses
-as its hardware-ceiling control) runs at start/middle/end —
+query therefore runs WARMUPS untimed reps (default 1; first-rep
+codegen/JIT is worth 3-4x on HOF-heavy queries) then REPS timed reps
+(default 3) with the MEDIAN reported; the segmentation pipeline
+likewise. A fixed-size no-Spark kernel burn (the same
+decode+fit+segment chain scaling_bench.py uses as its
+hardware-ceiling control) runs at start/middle/end —
 ``control_burn_sec`` is its median, and a value far above ~2 s marks
 the whole record as taken in a noisy window (VERDICT r4 #6).
 
@@ -90,14 +92,20 @@ def control_burn():
     return round(time.time() - t0, 3)
 
 
-def _median_time(fn, reps):
+def _median_time(fn, reps, warmups=1):
     """(median, raw reps). The headline per-query stat is the
     median; the JSON also records per-query MINs because on this
     host steal bursts can inflate ONE rep 10-30x (measured: 34.9 s
     on a ~3 s query), which poisons even a median-of-3 — and for
     deterministic work under purely additive noise the min is the
     robust regression statistic (bench_regression_check compares
-    mins when both records carry them)."""
+    mins when both records carry them). ``warmups`` untimed reps
+    run first: codegen/JIT of a query's specific expression tree is
+    a first-rep cost worth 3-4x on the HOF-heavy queries (measured:
+    simhash_near_dups 8.7/6.0 s cold vs 2.0-2.3 s steady state), so
+    cold-rep mins would gate regressions against a JIT artifact."""
+    for _ in range(warmups):
+        fn()
     ts = []
     for _ in range(reps):
         t0 = time.time()
@@ -130,7 +138,8 @@ def scaled_image_dedup_queries(spark, sf, cpus):
     }
 
 
-def run_segmentation_bench(spark, n_images, size, cpus, reps):
+def run_segmentation_bench(spark, n_images, size, cpus, reps,
+                           warmups=1):
     from pyshepseg_spark.operators.segment import SegConfig
     from pyshepseg_spark.operators.zonal import segment_stats_tiled
     from pyshepseg_spark.sources.imagegen import images_spark_df
@@ -149,7 +158,7 @@ def run_segmentation_bench(spark, n_images, size, cpus, reps):
         _materialize(segment_stats_tiled(images, cfg,
                                          percentiles=(50,)))
 
-    wall, ts = _median_time(run, reps)
+    wall, ts = _median_time(run, reps, warmups)
     images.unpersist()
     from pyshepseg_spark.operators.tiling import tile_grid
     tiles_per_image = len(tile_grid(size, size, cfg.tile_size,
@@ -169,6 +178,7 @@ def main():
                             "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "32"))
     img_size = int(os.environ.get("SPARK_GRAFT_BENCH_IMG_SIZE",
                                   "512"))
@@ -189,14 +199,16 @@ def main():
     times, mins, spreads = {}, {}, {}
     for name in HEADLINE:
         med, ts = _median_time(
-            lambda: _materialize(qs[name](spark, sf_dir)), reps)
+            lambda: _materialize(qs[name](spark, sf_dir)), reps,
+            warmups)
         times[name] = med
         mins[name] = round(min(ts), 3)
         spreads[name] = round(max(ts) / max(min(ts), 1e-9), 2)
 
     images, scaled = scaled_image_dedup_queries(spark, sf, cpus)
     for name, build in scaled.items():
-        med, ts = _median_time(lambda: _materialize(build()), reps)
+        med, ts = _median_time(lambda: _materialize(build()), reps,
+                               warmups)
         times[name] = med
         mins[name] = round(min(ts), 3)
         spreads[name] = round(max(ts) / max(min(ts), 1e-9), 2)
@@ -205,7 +217,7 @@ def main():
     burns.append(control_burn())
 
     seg = run_segmentation_bench(spark, n_images, img_size, cpus,
-                                 reps)
+                                 reps, warmups)
     times["segmentation_pipeline"] = seg["wall_sec"]
     mins["segmentation_pipeline"] = round(min(seg["rep_secs"]), 3)
 
@@ -222,6 +234,7 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "reps": reps,
+        "warmups": warmups,
         "segmentation": seg,
         "control_burn_sec": round(statistics.median(burns), 3),
         "control_burns": burns,

@@ -41,6 +41,14 @@ def get_spark(app_name: str = "pyshepseg_spark",
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEM", "8g"))
          .config("spark.sql.parquet.compression.codec", "zstd")
+         # truncate binary min/max column statistics: on the images
+         # table the payload column is an opaque raster (min/max is
+         # useless for pruning), and parquet-mr stores the FULL value
+         # twice per chunk in the uncompressed footer — a single
+         # 16384^2 u16 image (1.6 GB/value) produced a 6.4 GB footer
+         # and ParquetSizeOverflowException (>2 GiB limit, measured)
+         .config("spark.hadoop.parquet.statistics.truncate.length",
+                 "64")
          .config("spark.ui.showConsoleProgress", "false"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

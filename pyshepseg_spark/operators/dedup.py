@@ -333,6 +333,125 @@ def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
             .distinct())
 
 
+def gram_positions_md5(docs, text_col="text", id_col="doc_id", k=20):
+    """(id, ntok, pos, gh) rows: one per token position, where gh is
+    the md5-28bit hash of the k-token gram starting at pos (0-based,
+    over the whitespace-normalized token stream). The positional twin
+    of shingles_md5 (same normalization, same short-doc behaviour:
+    a doc shorter than k tokens emits one gram of the whole text) —
+    md5-28bit so a DuckDB oracle replays the stream bit-for-bit.
+
+    Scale shape: the output is one row per token — the linear,
+    embarrassingly-parallel exchange any substring-level pass must
+    pay; no shuffle happens here (pure project + generate)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    d = docs.select(F.col(id_col), words.alias("w"))
+    return d.select(
+        F.col(id_col), F.size("w").alias("ntok"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size("w") - k, F.lit(0))),
+            lambda i: md5_hash28(
+                F.concat_ws(" ", F.slice("w", i + 1, k)))))
+        .alias("pos", "gh"))
+
+
+def duplicated_spans(docs, text_col="text", id_col="doc_id", k=20,
+                     cross_doc=True, materialize=True):
+    """Exact substring dedup (the missing member of the dedup family
+    next to doc-level exact/MinHash/SimHash): maximal token spans
+    whose every k-gram occurs elsewhere in the corpus — the
+    distributed Spark form of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), which removes repeated passages (boilerplate,
+    licenses, quoted chunks) that doc-level dedup cannot see.
+
+    Semantics (exact for this granularity): a token position is
+    *marked* iff its k-gram hash occurs in >= 2 distinct docs
+    (``cross_doc=True``) or >= 2 times anywhere, incl. within one doc
+    (``cross_doc=False``); maximal runs of marked positions are the
+    spans. Every substring of length >= k repeated verbatim in the
+    corpus is fully covered by a span (each of its k-grams repeats);
+    conversely each reported span is a run of k-grams that each repeat
+    somewhere — possibly against different partners, the standard
+    relaxation vs a suffix array (which this shares with production
+    pipelines built on the same marking idea).
+
+    Returns (id, span_start, span_end, n_tokens) with token indices
+    0-based inclusive and span_end capped at the doc's last token
+    (short-doc grams cover the whole doc, not k tokens).
+
+    Scale shape: one linear gram pass (gram_positions_md5, barriered
+    by default — the frame feeds both the dup-hash agg and the
+    join-back, the minhash_lsh_pairs fan-out lesson); the dup-hash
+    groupBy partial-aggregates map-side and its output scales with
+    DISTINCT grams; the join-back is an equi-join on gh (AQE splits
+    hot boilerplate hashes); the islands window partitions per doc
+    over only the MARKED positions — state scales with duplicated
+    content, never the corpus. No all-pairs anywhere."""
+    from pyspark.sql import Window
+
+    from .skew import spread_small_scan
+    grams = gram_positions_md5(spread_small_scan(docs),
+                               text_col=text_col, id_col=id_col, k=k)
+    if materialize:
+        grams = grams.localCheckpoint(eager=False)
+    if cross_doc:
+        dup = (grams.groupBy("gh")
+               .agg(F.countDistinct(id_col).alias("nd"))
+               .filter(F.col("nd") >= 2).select("gh"))
+    else:
+        dup = (grams.groupBy("gh").agg(F.count("*").alias("n"))
+               .filter(F.col("n") >= 2).select("gh"))
+    marked = grams.join(dup, "gh").select(id_col, "ntok", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w))
+    return (isl.groupBy(id_col, "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 F.least(F.max("pos") + F.lit(k - 1),
+                         F.max("ntok") - F.lit(1)).alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("n_tokens")))
+
+
+def remove_duplicated_spans(docs, text_col="text", id_col="doc_id",
+                            k=20, cross_doc=True,
+                            min_span_tokens=None):
+    """Rewrite each doc with its duplicated spans cut out (the
+    train-data consumption form of duplicated_spans): tokens covered
+    by any reported span are dropped, survivors are re-joined in
+    order. Returns (id, clean_text) for EVERY input doc — a fully
+    duplicated doc comes back with clean_text = ''.
+
+    ``min_span_tokens`` keeps spans shorter than the threshold (i.e.
+    only cuts long repeats, the Lee-et-al. protocol where only
+    >=50-token repeats are removed).
+
+    Scale shape: span explosion scales with duplicated tokens; the
+    token rebuild is one groupBy per doc carrying (pos, tok) structs —
+    linear in corpus size, the unavoidable cost of rewriting text."""
+    spans = duplicated_spans(docs, text_col=text_col, id_col=id_col,
+                             k=k, cross_doc=cross_doc)
+    if min_span_tokens:
+        spans = spans.filter(F.col("n_tokens") >= min_span_tokens)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " "))
+        .alias("pos", "tok"))
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"])).alias("clean_text"))
+    return (docs.select(id_col).join(rebuilt, id_col, "left")
+            .fillna({"clean_text": ""}))
+
+
 def duplicate_groups(pairs, a_col="a", b_col="b"):
     """Transitive dedup clusters: connected components over the
     near-dup pair list (union-find on the driver for pair lists that

@@ -656,3 +656,159 @@ def test_minhash_probe_replay_is_idempotent(spark, tmp_path):
     writer(b1, 1)                            # the at-least-once replay
     pd.testing.assert_frame_equal(snap(pairs, pair_cols), pairs1)
     pd.testing.assert_frame_equal(snap(store, store_cols), store1)
+
+
+# ---------------------------------------------------------------
+# exact substring dedup (duplicated spans, Lee et al. 2022 family)
+# ---------------------------------------------------------------
+
+BOILER = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+          "sed do eiusmod tempor incididunt")        # 13 tokens
+
+
+def _span_docs(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        f"alpha beta gamma {BOILER} delta epsilon",
+        f"zeta {BOILER} eta theta iota",
+        "totally unique words nothing repeats here at all today",
+    ]})
+    return spark.createDataFrame(pdf)
+
+
+def test_duplicated_spans_finds_shared_passage(spark):
+    from pyshepseg_spark.operators.dedup import duplicated_spans
+    spans = duplicated_spans(_span_docs(spark), k=5).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # doc 0: boiler occupies tokens 3..15; doc 1: tokens 1..13;
+    # doc 2: nothing. Marked gram starts are those fully inside the
+    # boiler, and the span closure recovers the full passage.
+    assert len(spans) == 2
+    assert spans.loc[0].tolist() == [0, 3, 15, 13]
+    assert spans.loc[1].tolist() == [1, 1, 13, 13]
+
+
+def test_remove_duplicated_spans_cuts_passage(spark):
+    from pyshepseg_spark.operators.dedup import remove_duplicated_spans
+    clean = remove_duplicated_spans(_span_docs(spark), k=5) \
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    assert clean.clean_text.tolist() == [
+        "alpha beta gamma delta epsilon",
+        "zeta eta theta iota",
+        "totally unique words nothing repeats here at all today",
+    ]
+
+
+def test_remove_duplicated_spans_min_span_threshold(spark):
+    from pyshepseg_spark.operators.dedup import remove_duplicated_spans
+    # threshold above the passage length: nothing is removed
+    clean = remove_duplicated_spans(_span_docs(spark), k=5,
+                                    min_span_tokens=50) \
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    assert clean.clean_text[0] == f"alpha beta gamma {BOILER} delta epsilon"
+
+
+def test_duplicated_spans_within_doc_scope(spark):
+    from pyshepseg_spark.operators.dedup import duplicated_spans
+    rep = "one two three four five"
+    pdf = pd.DataFrame({"doc_id": [7], "text": [f"{rep} start middle end {rep}"]})
+    docs = spark.createDataFrame(pdf)
+    # cross-doc scope: a single doc can never match
+    assert duplicated_spans(docs, k=5, cross_doc=True).count() == 0
+    spans = duplicated_spans(docs, k=5, cross_doc=False).toPandas() \
+        .sort_values("span_start", ignore_index=True)
+    # the repeated phrase occupies tokens 0..4 and 8..12
+    assert spans[["span_start", "span_end"]].values.tolist() == [
+        [0, 4], [8, 12]]
+
+
+def test_fully_duplicated_doc_comes_back_empty(spark):
+    from pyshepseg_spark.operators.dedup import remove_duplicated_spans
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [BOILER, BOILER]})
+    clean = remove_duplicated_spans(spark.createDataFrame(pdf), k=5) \
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    assert clean.clean_text.tolist() == ["", ""]
+
+
+def _spans_ctes(k: int) -> str:
+    """CTE chain ending in ``spans`` (doc_id, span_start, span_end,
+    n_tokens): the DuckDB replay of dedup.duplicated_spans — same
+    md5-28bit gram stream (_shingle_cte), same cross-doc marking,
+    same gaps-and-islands closure, same short-doc span_end cap."""
+    import __spark_entry__ as em
+    return f"""
+        {em._shingle_cte(k)},
+        ntoks AS (SELECT doc_id, len(w) AS ntok FROM wrd),
+        dup AS (SELECT h FROM sh GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+        marked AS (SELECT sh.doc_id, sh.pos FROM sh
+                   JOIN dup USING (h)),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM marked),
+        spans AS (
+            SELECT i.doc_id,
+                   min(i.pos) AS span_start,
+                   least(max(i.pos) + {k} - 1,
+                         any_value(n.ntok) - 1) AS span_end,
+                   least(max(i.pos) + {k} - 1,
+                         any_value(n.ntok) - 1) - min(i.pos) + 1
+                       AS n_tokens
+            FROM isl i JOIN ntoks n USING (doc_id)
+            GROUP BY i.doc_id, i.grp
+        )"""
+
+
+def test_duplicated_spans_cross_engine_random_texts(spark):
+    """Randomized texts over a tiny vocab (so grams collide
+    naturally, incl. short/empty docs) must produce identical span
+    frames in Spark and a DuckDB replay of the same marking."""
+    import duckdb
+    from pyshepseg_spark.operators.dedup import (duplicated_spans,
+                                                 remove_duplicated_spans)
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = ["".join(""), "one"]
+    for _ in range(30):
+        n = int(rng.integers(0, 25))
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    k = 3
+
+    got = duplicated_spans(docs, k=k).toPandas() \
+        .sort_values(["doc_id", "span_start"], ignore_index=True) \
+        .astype("int64")
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(f"""
+        WITH {_spans_ctes(k)}
+        SELECT doc_id, span_start, span_end, n_tokens FROM spans
+        ORDER BY doc_id, span_start
+    """).df().astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+    got_clean = remove_duplicated_spans(docs, k=k).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    want_clean = con.execute(f"""
+        WITH {_spans_ctes(k)},
+        cov AS (SELECT doc_id, u.pos
+                FROM spans, LATERAL unnest(generate_series(
+                    span_start, span_end)) AS u(pos)),
+        toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+                 FROM wrd, LATERAL unnest(generate_series(
+                     1, len(w))) AS g(i)),
+        kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+                 ANTI JOIN cov c
+                 ON t.doc_id = c.doc_id AND t.pos = c.pos)
+        SELECT d.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+                   AS clean_text
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got_clean.reset_index(drop=True),
+        want_clean.reset_index(drop=True))

@@ -357,7 +357,7 @@ def gram_positions_md5(docs, text_col="text", id_col="doc_id", k=20):
 
 
 def duplicated_spans(docs, text_col="text", id_col="doc_id", k=20,
-                     cross_doc=True, materialize=True):
+                     scope="cross_doc", materialize=True):
     """Exact substring dedup (the missing member of the dedup family
     next to doc-level exact/MinHash/SimHash): maximal token spans
     whose every k-gram occurs elsewhere in the corpus — the
@@ -368,9 +368,10 @@ def duplicated_spans(docs, text_col="text", id_col="doc_id", k=20,
 
     Semantics (exact for this granularity): a token position is
     *marked* iff its k-gram hash occurs in >= 2 distinct docs
-    (``cross_doc=True``) or >= 2 times anywhere, incl. within one doc
-    (``cross_doc=False``); maximal runs of marked positions are the
-    spans. Every substring of length >= k repeated verbatim in the
+    (``scope="cross_doc"``), >= 2 times anywhere in the corpus incl.
+    within one doc (``scope="any"``), or >= 2 times inside its OWN
+    doc (``scope="within_doc"`` — the Gopher repetition-signal
+    scope); maximal runs of marked positions are the spans. Every substring of length >= k repeated verbatim in the
     corpus is fully covered by a span (each of its k-grams repeats);
     conversely each reported span is a run of k-grams that each repeat
     somewhere — possibly against different partners, the standard
@@ -396,14 +397,24 @@ def duplicated_spans(docs, text_col="text", id_col="doc_id", k=20,
                                text_col=text_col, id_col=id_col, k=k)
     if materialize:
         grams = grams.localCheckpoint(eager=False)
-    if cross_doc:
+    if scope == "cross_doc":
         dup = (grams.groupBy("gh")
                .agg(F.countDistinct(id_col).alias("nd"))
                .filter(F.col("nd") >= 2).select("gh"))
-    else:
+        marked = grams.join(dup, "gh")
+    elif scope == "any":
         dup = (grams.groupBy("gh").agg(F.count("*").alias("n"))
                .filter(F.col("n") >= 2).select("gh"))
-    marked = grams.join(dup, "gh").select(id_col, "ntok", "pos")
+        marked = grams.join(dup, "gh")
+    elif scope == "within_doc":
+        dup = (grams.groupBy(id_col, "gh")
+               .agg(F.count("*").alias("n"))
+               .filter(F.col("n") >= 2).select(id_col, "gh"))
+        marked = grams.join(dup, [id_col, "gh"])
+    else:
+        raise ValueError(f"unknown scope {scope!r}: expected "
+                         "cross_doc | any | within_doc")
+    marked = marked.select(id_col, "ntok", "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = marked.withColumn(
         "grp", F.col("pos") - F.row_number().over(w))
@@ -417,7 +428,7 @@ def duplicated_spans(docs, text_col="text", id_col="doc_id", k=20,
 
 
 def remove_duplicated_spans(docs, text_col="text", id_col="doc_id",
-                            k=20, cross_doc=True,
+                            k=20, scope="cross_doc",
                             min_span_tokens=None):
     """Rewrite each doc with its duplicated spans cut out (the
     train-data consumption form of duplicated_spans): tokens covered
@@ -433,7 +444,7 @@ def remove_duplicated_spans(docs, text_col="text", id_col="doc_id",
     token rebuild is one groupBy per doc carrying (pos, tok) structs —
     linear in corpus size, the unavoidable cost of rewriting text."""
     spans = duplicated_spans(docs, text_col=text_col, id_col=id_col,
-                             k=k, cross_doc=cross_doc)
+                             k=k, scope=scope)
     if min_span_tokens:
         spans = spans.filter(F.col("n_tokens") >= min_span_tokens)
     covered = spans.select(

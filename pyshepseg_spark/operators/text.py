@@ -122,6 +122,126 @@ def fingerprint_md5(docs, text_col="text", id_col="doc_id",
             .agg(F.expr("bit_xor(DISTINCT mn)").alias("fingerprint")))
 
 
+def repetition_signals(docs, text_col="text", id_col="doc_id",
+                       top_ngrams=(2, 3, 4), dup_ngram=5):
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, App. A1.1 — the repetition-removal half of the quality
+    filter suite; quality_score covers the length/ratio half):
+
+    - ``n_lines`` / ``dup_line_frac`` / ``dup_line_char_frac``:
+      over non-empty trimmed lines, the fraction of REPEATED line
+      occurrences (count-1 per distinct line) and the character
+      mass they carry.
+    - ``top_{n}gram_char_frac`` for n in ``top_ngrams``: character
+      mass of the single most frequent word n-gram (count x gram
+      length, incl. its internal spaces) over the normalized text
+      length. Ties break deterministically (count, gram length,
+      gram) descending — identical in the DuckDB replay.
+    - ``dup_{n}gram_token_frac`` for n = ``dup_ngram``: fraction of
+      TOKENS covered by n-grams occurring more than once in the doc
+      (token- rather than char-fraction — a documented deviation
+      from Gopher's character accounting; reuses the duplicated-span
+      closure in dedup.duplicated_spans with scope="within_doc", so
+      overlapping repeats are counted once).
+
+    Every input doc appears in the output (signals 0.0 where the doc
+    is too short to form a gram / has no non-empty line).
+
+    Scale shape: line and n-gram counting are explode -> groupBy
+    chains with map-side partial aggregation, keyed by (doc, gram) —
+    no all-pairs, no windows over fat rows; the three top-n sizes
+    share ONE exploded frame and shuffle (a plan-tag union). The
+    per-doc top-1 is a size-1 window over pre-aggregated counts."""
+    from pyspark.sql import Window
+
+    from .dedup import duplicated_spans, normalized_text
+    from .skew import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    base = docs.select(F.col(id_col),
+                       normalized_text(F.col(text_col)).alias("nt"),
+                       F.col(text_col).alias("__raw"))
+    base = base.localCheckpoint(eager=False)   # fans into 3 branches
+
+    # --- line signals ---
+    lines = base.select(
+        id_col,
+        F.explode(F.filter(
+            F.transform(F.split("__raw", r"\n"), F.trim),
+            lambda s: F.length(s) > 0)).alias("line"))
+    lc = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    line_sig = lc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        (F.sum(F.col("cnt") - 1) / F.sum("cnt"))
+        .alias("dup_line_frac"),
+        (F.sum((F.col("cnt") - 1) * F.length("line"))
+         / F.sum(F.col("cnt") * F.length("line")))
+        .alias("dup_line_char_frac"))
+
+    # --- top n-gram char fraction, all sizes over one shuffle ---
+    words = F.split(F.col("nt"), " ")
+    gram_frames = []
+    for n in top_ngrams:
+        idx = F.sequence(F.lit(0), F.size(words) - n)
+        gram_frames.append(
+            base.filter(F.size(words) >= n).select(
+                F.col(id_col), F.lit(n).alias("n"),
+                F.length("nt").alias("tot_chars"),
+                F.explode(F.transform(
+                    idx, _gram_at(words, n))).alias("gram")))
+    grams = gram_frames[0]
+    for gf in gram_frames[1:]:
+        grams = grams.unionByName(gf)
+    gc = grams.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.max("tot_chars").alias("tot_chars"))
+    w = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.length("gram").desc(),
+        F.col("gram").desc())
+    top = (gc.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select(id_col, "n",
+                   (F.col("cnt") * F.length("gram")
+                    / F.greatest(F.col("tot_chars"), F.lit(1)))
+                   .alias("frac")))
+    top_piv = (top.groupBy(id_col).pivot("n", list(top_ngrams))
+               .agg(F.first("frac")))
+    for n in top_ngrams:
+        top_piv = top_piv.withColumnRenamed(
+            str(n), f"top_{n}gram_char_frac")
+
+    # --- duplicated n-gram token coverage ---
+    spans = duplicated_spans(base.select(id_col,
+                                         F.col("nt").alias("text")),
+                             text_col="text", id_col=id_col,
+                             k=dup_ngram, scope="within_doc")
+    cov = spans.groupBy(id_col).agg(
+        F.sum("n_tokens").alias("cov_tokens"))
+    ntoks = base.select(F.col(id_col), F.size(words).alias("ntok"))
+    dup_sig = (ntoks.join(cov, id_col, "left")
+               .select(id_col,
+                       (F.coalesce(F.col("cov_tokens"), F.lit(0))
+                        / F.col("ntok"))
+                       .alias(f"dup_{dup_ngram}gram_token_frac")))
+
+    out = (docs.select(id_col)
+           .join(line_sig, id_col, "left")
+           .join(top_piv, id_col, "left")
+           .join(dup_sig, id_col, "left")
+           .fillna(0, subset=["n_lines"]))
+    frac_cols = (["dup_line_frac", "dup_line_char_frac"]
+                 + [f"top_{n}gram_char_frac" for n in top_ngrams]
+                 + [f"dup_{dup_ngram}gram_token_frac"])
+    return out.fillna(0.0, subset=frac_cols)
+
+
+def _gram_at(words, n):
+    # closure factory: PySpark HOF lambdas need exact arity
+    def f(i):
+        return F.concat_ws(" ", F.slice(words, i + 1, n))
+    return f
+
+
 def fingerprint(docs, text_col="text", window: int = 8):
     """Winnowing-style document fingerprint: rolling polynomial hash
     over the normalized text, minimum hash per sliding window,

@@ -713,9 +713,9 @@ def test_duplicated_spans_within_doc_scope(spark):
     pdf = pd.DataFrame({"doc_id": [7], "text": [f"{rep} start middle end {rep}"]})
     docs = spark.createDataFrame(pdf)
     # cross-doc scope: a single doc can never match
-    assert duplicated_spans(docs, k=5, cross_doc=True).count() == 0
-    spans = duplicated_spans(docs, k=5, cross_doc=False).toPandas() \
-        .sort_values("span_start", ignore_index=True)
+    assert duplicated_spans(docs, k=5, scope="cross_doc").count() == 0
+    spans = duplicated_spans(docs, k=5, scope="within_doc") \
+        .toPandas().sort_values("span_start", ignore_index=True)
     # the repeated phrase occupies tokens 0..4 and 8..12
     assert spans[["span_start", "span_end"]].values.tolist() == [
         [0, 4], [8, 12]]
@@ -729,19 +729,28 @@ def test_fully_duplicated_doc_comes_back_empty(spark):
     assert clean.clean_text.tolist() == ["", ""]
 
 
-def _spans_ctes(k: int) -> str:
+def _spans_ctes(k: int, scope: str = "cross_doc") -> str:
     """CTE chain ending in ``spans`` (doc_id, span_start, span_end,
     n_tokens): the DuckDB replay of dedup.duplicated_spans — same
-    md5-28bit gram stream (_shingle_cte), same cross-doc marking,
-    same gaps-and-islands closure, same short-doc span_end cap."""
+    md5-28bit gram stream (_shingle_cte), same marking scope, same
+    gaps-and-islands closure, same short-doc span_end cap."""
     import __spark_entry__ as em
+    if scope == "cross_doc":
+        dup = ("SELECT h FROM sh GROUP BY h "
+               "HAVING count(DISTINCT doc_id) >= 2")
+        join = "JOIN dup USING (h)"
+    elif scope == "any":
+        dup = "SELECT h FROM sh GROUP BY h HAVING count(*) >= 2"
+        join = "JOIN dup USING (h)"
+    else:   # within_doc
+        dup = ("SELECT doc_id AS ddoc, h FROM sh "
+               "GROUP BY doc_id, h HAVING count(*) >= 2")
+        join = "JOIN dup ON sh.doc_id = dup.ddoc AND sh.h = dup.h"
     return f"""
         {em._shingle_cte(k)},
         ntoks AS (SELECT doc_id, len(w) AS ntok FROM wrd),
-        dup AS (SELECT h FROM sh GROUP BY h
-                HAVING count(DISTINCT doc_id) >= 2),
-        marked AS (SELECT sh.doc_id, sh.pos FROM sh
-                   JOIN dup USING (h)),
+        dup AS ({dup}),
+        marked AS (SELECT sh.doc_id, sh.pos FROM sh {join}),
         isl AS (SELECT doc_id, pos,
                        pos - row_number() OVER (
                            PARTITION BY doc_id ORDER BY pos) AS grp
@@ -776,18 +785,18 @@ def test_duplicated_spans_cross_engine_random_texts(spark):
     docs = spark.createDataFrame(pdf)
     k = 3
 
-    got = duplicated_spans(docs, k=k).toPandas() \
-        .sort_values(["doc_id", "span_start"], ignore_index=True) \
-        .astype("int64")
-
     con = duckdb.connect()
     con.register("documents", pdf)
-    want = con.execute(f"""
-        WITH {_spans_ctes(k)}
-        SELECT doc_id, span_start, span_end, n_tokens FROM spans
-        ORDER BY doc_id, span_start
-    """).df().astype("int64")
-    pd.testing.assert_frame_equal(got, want)
+    for scope in ("cross_doc", "any", "within_doc"):
+        got = duplicated_spans(docs, k=k, scope=scope).toPandas() \
+            .sort_values(["doc_id", "span_start"],
+                         ignore_index=True).astype("int64")
+        want = con.execute(f"""
+            WITH {_spans_ctes(k, scope)}
+            SELECT doc_id, span_start, span_end, n_tokens FROM spans
+            ORDER BY doc_id, span_start
+        """).df().astype("int64")
+        pd.testing.assert_frame_equal(got, want, obj=scope)
 
     got_clean = remove_duplicated_spans(docs, k=k).toPandas() \
         .sort_values("doc_id", ignore_index=True)
@@ -812,3 +821,132 @@ def test_duplicated_spans_cross_engine_random_texts(spark):
     pd.testing.assert_frame_equal(
         got_clean.reset_index(drop=True),
         want_clean.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------
+
+def test_repetition_signals_crafted(spark):
+    from pyshepseg_spark.operators.text import repetition_signals
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [
+        # 4 non-empty lines, "same line" appears 3x (12 chars each),
+        # "other text" once (10 chars)
+        "same line\nsame line\n\nsame line\nother line",
+        # no repetition at all
+        "every word here is completely distinct today",
+    ]})
+    sig = repetition_signals(spark.createDataFrame(pdf)) \
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    r0 = sig.loc[0]
+    assert r0.n_lines == 4
+    assert r0.dup_line_frac == pytest.approx(2 / 4)
+    # dup char mass: 2 extra copies of "same line" (9 chars) over
+    # 3*9 + 10 chars of line text
+    assert r0.dup_line_char_frac == pytest.approx(18 / 37)
+    # top 2-gram of doc 0: "same line" x3? normalized text is one
+    # line-collapsed string: "same line same line same line other
+    # line" -> 2-gram "line same" x2, "same line" x3
+    nt0 = "same line same line same line other line"
+    assert r0.top_2gram_char_frac == pytest.approx(
+        3 * len("same line") / len(nt0))
+    r1 = sig.loc[1]
+    assert r1.n_lines == 1
+    assert r1.dup_line_frac == 0.0
+    assert r1.dup_5gram_token_frac == 0.0
+
+
+def test_repetition_signals_dup_ngram_coverage(spark):
+    from pyshepseg_spark.operators.text import repetition_signals
+    rep = "alpha beta gamma delta epsilon"          # 5 tokens
+    text = f"{rep} one two three {rep}"             # 13 tokens
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text]})
+    sig = repetition_signals(spark.createDataFrame(pdf)).toPandas()
+    # the repeated 5-gram covers tokens 0-4 and 8-12 -> 10 of 13
+    assert sig.dup_5gram_token_frac[0] == pytest.approx(10 / 13)
+
+
+def test_repetition_signals_cross_engine_random(spark):
+    """Randomized multi-line texts: the full signal frame must match
+    a DuckDB replay (line stats, deterministic top-ngram tie-break,
+    within-doc duplicated-5-gram token coverage)."""
+    import duckdb
+    from pyshepseg_spark.operators.text import repetition_signals
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = ["", "one", "one two three"]
+    for _ in range(25):
+        n_ln = int(rng.integers(0, 6))
+        lines = [" ".join(rng.choice(vocab,
+                                     size=int(rng.integers(0, 12))))
+                 for _ in range(n_ln)]
+        texts.append("\n".join(lines))
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = repetition_signals(spark.createDataFrame(pdf)).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(f"""
+        WITH {_spans_ctes(5, "within_doc")},
+        lines0 AS (
+            SELECT doc_id, trim(l) AS line FROM documents,
+            LATERAL unnest(string_split(text, chr(10))) AS t(l)
+            WHERE length(trim(l)) > 0),
+        lc AS (SELECT doc_id, line, count(*) AS cnt
+               FROM lines0 GROUP BY doc_id, line),
+        line_sig AS (
+            SELECT doc_id, sum(cnt) AS n_lines,
+                   sum(cnt - 1)::DOUBLE / sum(cnt) AS dup_line_frac,
+                   sum((cnt - 1) * length(line))::DOUBLE
+                       / sum(cnt * length(line))
+                       AS dup_line_char_frac
+            FROM lc GROUP BY doc_id),
+        grams AS (
+            SELECT doc_id, n, length(t) AS tot_chars,
+                   array_to_string(list_slice(w, i, i + n - 1), ' ')
+                       AS gram
+            FROM wrd JOIN norm USING (doc_id),
+                 (VALUES (2), (3), (4)) AS ns(n),
+                 LATERAL unnest(generate_series(1, len(w) - n + 1))
+                     AS g(i)
+            WHERE len(w) >= n),
+        gc AS (SELECT doc_id, n, gram, count(*) AS cnt,
+                      max(tot_chars) AS tot_chars
+               FROM grams GROUP BY doc_id, n, gram),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY doc_id, n
+                       ORDER BY cnt DESC, length(gram) DESC,
+                                gram DESC) AS rn FROM gc),
+        top AS (SELECT doc_id, n,
+                       cnt * length(gram)::DOUBLE
+                           / greatest(tot_chars, 1) AS frac
+                FROM ranked WHERE rn = 1),
+        cov AS (SELECT doc_id, sum(n_tokens) AS cov_tokens
+                FROM spans GROUP BY doc_id),
+        base AS (SELECT DISTINCT doc_id FROM documents)
+        SELECT b.doc_id,
+               coalesce(ls.n_lines, 0) AS n_lines,
+               coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(ls.dup_line_char_frac, 0.0)
+                   AS dup_line_char_frac,
+               coalesce(max(CASE WHEN t.n = 2 THEN t.frac END), 0.0)
+                   AS top_2gram_char_frac,
+               coalesce(max(CASE WHEN t.n = 3 THEN t.frac END), 0.0)
+                   AS top_3gram_char_frac,
+               coalesce(max(CASE WHEN t.n = 4 THEN t.frac END), 0.0)
+                   AS top_4gram_char_frac,
+               coalesce(any_value(c.cov_tokens), 0)::DOUBLE
+                   / any_value(nk.ntok) AS dup_5gram_token_frac
+        FROM base b
+        LEFT JOIN line_sig ls USING (doc_id)
+        LEFT JOIN top t USING (doc_id)
+        LEFT JOIN cov c USING (doc_id)
+        JOIN ntoks nk USING (doc_id)
+        GROUP BY b.doc_id, ls.n_lines, ls.dup_line_frac,
+                 ls.dup_line_char_frac
+        ORDER BY b.doc_id
+    """).df()
+    got["n_lines"] = got["n_lines"].astype("int64")
+    want["n_lines"] = want["n_lines"].astype("int64")
+    pd.testing.assert_frame_equal(got, want, atol=1e-12)

@@ -950,3 +950,90 @@ def test_repetition_signals_cross_engine_random(spark):
     got["n_lines"] = got["n_lines"].astype("int64")
     want["n_lines"] = want["n_lines"].astype("int64")
     pd.testing.assert_frame_equal(got, want, atol=1e-12)
+
+
+# ---------------------------------------------------------------
+# IVF-PQ (product-quantized ANN)
+# ---------------------------------------------------------------
+
+def test_ivf_pq_exhaustive_refine_matches_exact(spark, emb):
+    """With exhaustive probing and a refine window covering the whole
+    corpus, IVF-PQ degrades to exact brute force — the same
+    validation contract ivf_topk carries."""
+    from pyshepseg_spark.operators.similarity import (
+        ivf_pq_topk, train_pq_codebooks)
+    centroids = train_ivf_centroids(emb, n_cells=8)
+    books = train_pq_codebooks(emb, m=8, nbits=4)
+    queries = emb.limit(6).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    exact = brute_force_topk(queries, emb, k=5).toPandas() \
+        .sort_values(["q_id", "rank"], ignore_index=True)
+    got = ivf_pq_topk(queries, emb, centroids, books, k=5,
+                      nprobe=8, refine_factor=100).toPandas() \
+        .sort_values(["q_id", "rank"], ignore_index=True)
+    assert got[["q_id", "c_id", "rank"]].values.tolist() == \
+        exact[["q_id", "c_id", "rank"]].values.tolist()
+    assert np.allclose(got.cosine, exact.cosine, atol=1e-6)
+
+
+def test_ivf_pq_recall_and_stored_path(spark, emb):
+    from pyshepseg_spark.operators.similarity import (
+        ivf_pq_topk, pq_encode, train_pq_codebooks)
+    centroids = train_ivf_centroids(emb, n_cells=8)
+    # measured on this fixture: (m=8,nbits=4) plain 0.45/refined
+    # 0.62; (m=16,nbits=6) plain 0.55/refined 0.95 — the noisy
+    # intra-cluster fixture makes PQ-ranked top-5 genuinely hard,
+    # refine is the production answer
+    books = train_pq_codebooks(emb, m=16, nbits=6)
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    exact = brute_force_topk(queries, emb, k=5).toPandas()
+
+    def recall(df):
+        hits = tot = 0
+        for qid in exact.q_id.unique():
+            e = set(exact[exact.q_id == qid].c_id)
+            a = set(df[df.q_id == qid].c_id)
+            hits += len(e & a)
+            tot += len(e)
+        return hits / tot
+
+    plain = ivf_pq_topk(queries, emb, centroids, books, k=5,
+                        nprobe=4).toPandas()
+    refined = ivf_pq_topk(queries, emb, centroids, books, k=5,
+                          nprobe=4, refine_factor=4).toPandas()
+    assert recall(plain) >= 0.4
+    assert recall(refined) >= recall(plain)
+    assert recall(refined) >= 0.8
+
+    # the production write path (stored cell + codes, vector-free
+    # scan) must return exactly the on-the-fly result
+    stored = pq_encode(emb, books, centroids=centroids)
+    got = ivf_pq_topk(queries, stored, centroids, books, k=5,
+                      nprobe=4).toPandas() \
+        .sort_values(["q_id", "rank"], ignore_index=True)
+    want = plain.sort_values(["q_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pq_encode_reconstruction_beats_random(spark, emb):
+    """Sanity on the codebooks: PQ reconstruction error must be far
+    below the error of random codes from the same codebooks."""
+    from pyshepseg_spark.operators.similarity import (
+        pq_encode, train_pq_codebooks)
+    books = train_pq_codebooks(emb, m=8, nbits=4)
+    enc = pq_encode(emb.limit(100), books).toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in enc.embedding])
+    codes = np.stack([np.asarray(c) for c in enc.pq_code])
+    m, _, dsub = books.shape
+    recon = np.concatenate([books[j][codes[:, j]]
+                            for j in range(m)], axis=1)
+    rng = np.random.default_rng(0)
+    rand = np.concatenate(
+        [books[j][rng.integers(0, 16, size=len(x))]
+         for j in range(m)], axis=1)
+    err = ((x - recon) ** 2).sum(axis=1).mean()
+    err_rand = ((x - rand) ** 2).sum(axis=1).mean()
+    # measured ~0.36x on the fixture; 0.5x guards real regressions
+    assert err < 0.5 * err_rand

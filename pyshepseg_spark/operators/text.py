@@ -135,8 +135,10 @@ def repetition_signals(docs, text_col="text", id_col="doc_id",
     - ``top_{n}gram_char_frac`` for n in ``top_ngrams``: character
       mass of the single most frequent word n-gram (count x gram
       length, incl. its internal spaces) over the normalized text
-      length. Ties break deterministically (count, gram length,
-      gram) descending — identical in the DuckDB replay.
+      length. The reported FRACTION only needs the winning (count,
+      length) pair, so any tie-break among equal pairs yields the
+      same value — the top-1 is a struct-max hash aggregation, not
+      a sort window.
     - ``dup_{n}gram_token_frac`` for n = ``dup_ngram``: fraction of
       TOKENS covered by n-grams occurring more than once in the doc
       (token- rather than char-fraction — a documented deviation
@@ -148,12 +150,16 @@ def repetition_signals(docs, text_col="text", id_col="doc_id",
     is too short to form a gram / has no non-empty line).
 
     Scale shape: line and n-gram counting are explode -> groupBy
-    chains with map-side partial aggregation, keyed by (doc, gram) —
-    no all-pairs, no windows over fat rows; the three top-n sizes
-    share ONE exploded frame and shuffle (a plan-tag union). The
-    per-doc top-1 is a size-1 window over pre-aggregated counts."""
-    from pyspark.sql import Window
-
+    chains with map-side partial aggregation keyed by (doc, n,
+    gram) — no all-pairs, no sorts anywhere. A/B'd at sf0.1
+    (PERF.md round 5): replacing the per-(doc,n) row_number window
+    with the struct-max aggregation is ~4x on this branch; grouping
+    by an md5-28bit/xxhash64 gram hash instead of the string LOSES
+    (3.7/2.9 s vs 1.7 s) because map-side combine already collapses
+    duplicate grams before the exchange, so the per-occurrence hash
+    compute outweighs the per-distinct shuffle saving. The three
+    top-n sizes share ONE exploded frame and shuffle (tagged
+    union)."""
     from .dedup import duplicated_spans, normalized_text
     from .skew import spread_small_scan
 
@@ -195,13 +201,13 @@ def repetition_signals(docs, text_col="text", id_col="doc_id",
     gc = grams.groupBy(id_col, "n", "gram").agg(
         F.count("*").alias("cnt"),
         F.max("tot_chars").alias("tot_chars"))
-    w = Window.partitionBy(id_col, "n").orderBy(
-        F.col("cnt").desc(), F.length("gram").desc(),
-        F.col("gram").desc())
-    top = (gc.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == 1)
+    gc = gc.select(id_col, "n", "cnt", "tot_chars",
+                   F.length("gram").alias("glen"))
+    top = (gc.groupBy(id_col, "n")
+           .agg(F.max(F.struct("cnt", "glen")).alias("m"),
+                F.max("tot_chars").alias("tot_chars"))
            .select(id_col, "n",
-                   (F.col("cnt") * F.length("gram")
+                   (F.col("m.cnt") * F.col("m.glen")
                     / F.greatest(F.col("tot_chars"), F.lit(1)))
                    .alias("frac")))
     top_piv = (top.groupBy(id_col).pivot("n", list(top_ngrams))

@@ -911,15 +911,14 @@ def test_repetition_signals_cross_engine_random(spark):
                  LATERAL unnest(generate_series(1, len(w) - n + 1))
                      AS g(i)
             WHERE len(w) >= n),
-        gc AS (SELECT doc_id, n, gram, count(*) AS cnt,
-                      max(tot_chars) AS tot_chars
+        gc AS (SELECT doc_id, n, length(gram) AS glen,
+                      count(*) AS cnt, max(tot_chars) AS tot_chars
                FROM grams GROUP BY doc_id, n, gram),
         ranked AS (SELECT *, row_number() OVER (
                        PARTITION BY doc_id, n
-                       ORDER BY cnt DESC, length(gram) DESC,
-                                gram DESC) AS rn FROM gc),
+                       ORDER BY cnt DESC, glen DESC) AS rn FROM gc),
         top AS (SELECT doc_id, n,
-                       cnt * length(gram)::DOUBLE
+                       cnt * glen::DOUBLE
                            / greatest(tot_chars, 1) AS frac
                 FROM ranked WHERE rn = 1),
         cov AS (SELECT doc_id, sum(n_tokens) AS cov_tokens

@@ -122,6 +122,44 @@ def fingerprint_md5(docs, text_col="text", id_col="doc_id",
             .agg(F.expr("bit_xor(DISTINCT mn)").alias("fingerprint")))
 
 
+# PII patterns: a deliberately conservative common-regex subset that
+# parses identically under Java regex (Spark) and RE2-ish engines
+# (DuckDB oracle replays) — no lookbehind, no backrefs.
+PII_PATTERNS = {
+    # order IS precedence (applied sequentially): specific shapes
+    # first so the broad phone digit-run never swallows them
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    "ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+}
+
+
+def pii_redact(docs, text_col="text", out_col="redacted_text",
+               patterns=None, token="[PII:{kind}]"):
+    """Scrub common PII shapes (emails, IPv4s, phone-like digit
+    runs, SSN-like triplets) from a text column — the standard
+    pre-training hygiene pass. Pure JVM regexp_replace chain (one
+    pass per pattern, whole-stage codegen; no Python in the hot
+    path), plus a per-kind match COUNT column (``n_pii_<kind>``) so
+    downstream filters can drop high-PII docs instead of just
+    masking them.
+
+    Patterns are a conservative dialect-portable subset; extend via
+    ``patterns`` (dict kind -> regex). Order matters (emails before
+    phone-like digit runs keeps the phone regex off the local part);
+    dict insertion order is applied order."""
+    pats = patterns or PII_PATTERNS
+    out = docs
+    cur = F.col(text_col)
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"n_pii_{kind}",
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, token.format(kind=kind))
+    return out.withColumn(out_col, cur)
+
+
 def repetition_signals(docs, text_col="text", id_col="doc_id",
                        top_ngrams=(2, 3, 4), dup_ngram=5):
     """Gopher-style within-document repetition signals (Rae et al.
@@ -239,6 +277,82 @@ def repetition_signals(docs, text_col="text", id_col="doc_id",
                  + [f"top_{n}gram_char_frac" for n in top_ngrams]
                  + [f"dup_{dup_ngram}gram_token_frac"])
     return out.fillna(0.0, subset=frac_cols)
+
+
+# Gopher-style default thresholds (Rae et al. 2021, App. A1.1);
+# dup_5gram uses this engine's token-fraction analogue.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_stopword_ratio": 0.02,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_token_frac": 0.15,
+}
+
+
+def gopher_quality_filter(docs, text_col="text", id_col="doc_id",
+                          thresholds=None):
+    """The composed Gopher quality gate: quality_score's length /
+    word-shape / stopword signals + repetition_signals' duplicate-
+    line and n-gram signals, each compared to its (overridable)
+    threshold. Returns one row per input doc with every signal, a
+    ``drop_reasons`` array naming each violated rule (empty = clean)
+    and ``keep`` = no violations — keep/drop stays a DECISION COLUMN
+    rather than a destructive filter so the pipeline can audit
+    rejection rates per rule before committing (the production
+    protocol; ``.filter("keep")`` is the consuming one-liner).
+
+    Scale shape: one equi-join of the two signal frames on the doc
+    id; everything else is column arithmetic on the joined row."""
+    th = dict(GOPHER_THRESHOLDS)
+    th.update(thresholds or {})
+    q = quality_score(docs.select(F.col(id_col), F.col(text_col))) \
+        .drop(text_col)
+    r = repetition_signals(docs, text_col=text_col, id_col=id_col)
+    j = q.join(r, id_col)
+    rules = [
+        ("too_few_words", F.col("n_words") < th["min_words"]),
+        ("too_many_words", F.col("n_words") > th["max_words"]),
+        ("mean_word_len",
+         (F.col("mean_word_len") < th["min_mean_word_len"])
+         | (F.col("mean_word_len") > th["max_mean_word_len"])),
+        ("stopword_ratio",
+         F.col("stopword_ratio") < th["min_stopword_ratio"]),
+        ("dup_line_frac",
+         F.col("dup_line_frac") > th["max_dup_line_frac"]),
+        ("dup_line_char_frac",
+         F.col("dup_line_char_frac") > th["max_dup_line_char_frac"]),
+        ("top_2gram_char_frac",
+         F.col("top_2gram_char_frac")
+         > th["max_top_2gram_char_frac"]),
+        ("top_3gram_char_frac",
+         F.col("top_3gram_char_frac")
+         > th["max_top_3gram_char_frac"]),
+        ("top_4gram_char_frac",
+         F.col("top_4gram_char_frac")
+         > th["max_top_4gram_char_frac"]),
+        ("dup_5gram_token_frac",
+         F.col("dup_5gram_token_frac")
+         > th["max_dup_5gram_token_frac"]),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                  for name, cond in rules]),
+        _not_null)
+    return (j.withColumn("drop_reasons", reasons)
+            .withColumn("keep", F.size("drop_reasons") == 0))
+
+
+def _not_null(x):
+    # closure-free named predicate: PySpark HOF lambdas need exact
+    # arity and a stable function object
+    return x.isNotNull()
 
 
 def _gram_at(words, n):

@@ -1036,3 +1036,100 @@ def test_pq_encode_reconstruction_beats_random(spark, emb):
     err_rand = ((x - rand) ** 2).sum(axis=1).mean()
     # measured ~0.36x on the fixture; 0.5x guards real regressions
     assert err < 0.5 * err_rand
+
+
+# ---------------------------------------------------------------
+# PII redaction + composed Gopher filter
+# ---------------------------------------------------------------
+
+def test_pii_redact_crafted(spark):
+    from pyshepseg_spark.operators.text import pii_redact
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [
+        "mail me at jane.doe+x@example.co or call +1 (555) 123-4567 "
+        "from 192.168.10.1, ssn 123-45-6789",
+        "no pii here at all",
+    ]})
+    out = pii_redact(spark.createDataFrame(pdf)).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    r0 = out.loc[0]
+    assert r0.n_pii_email == 1 and r0.n_pii_ipv4 == 1
+    assert r0.n_pii_phone == 1 and r0.n_pii_ssn_like == 1
+    assert r0.redacted_text == (
+        "mail me at [PII:email] or call [PII:phone] "
+        "from [PII:ipv4], ssn [PII:ssn_like]")
+    r1 = out.loc[1]
+    assert r1.redacted_text == "no pii here at all"
+    assert (r1[["n_pii_email", "n_pii_ipv4", "n_pii_phone",
+                "n_pii_ssn_like"]] == 0).all()
+
+
+def test_pii_redact_cross_engine(spark, docs):
+    """The sequential replace chain and per-kind counts must match a
+    DuckDB replay over real corpus text with injected PII."""
+    import duckdb
+    from pyshepseg_spark.operators.text import PII_PATTERNS, pii_redact
+    pdf = docs.limit(40).select("doc_id", "text").toPandas()
+    pdf["text"] = pdf.text + np.where(
+        pdf.doc_id % 3 == 0,
+        " contact bob@corp.example from 10.0.0.42 or 555-123-9876",
+        "")
+    sdf = spark.createDataFrame(pdf)
+    got = pii_redact(sdf).toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("d", pdf)
+    cur, sel = "text", []
+    for kind, pat in PII_PATTERNS.items():
+        sel.append(f"len(regexp_extract_all({cur}, '{pat}'))"
+                   f" AS n_pii_{kind}")
+        cur = (f"regexp_replace({cur}, '{pat}',"
+               f" '[PII:{kind}]', 'g')")
+    want = con.execute(
+        f"SELECT doc_id, {', '.join(sel)}, {cur} AS redacted_text "
+        f"FROM d ORDER BY doc_id").df()
+    for c in want.columns:
+        if c.startswith("n_pii"):
+            assert (got[c].to_numpy()
+                    == want[c].to_numpy()).all(), c
+    assert (got.redacted_text.to_numpy()
+            == want.redacted_text.to_numpy()).all()
+
+
+def test_gopher_quality_filter(spark):
+    from pyshepseg_spark.operators.text import gopher_quality_filter
+    rng = np.random.default_rng(5)
+    vocab = [f"word{i}" for i in range(300)]
+    clean_words = []
+    for i in range(120):
+        clean_words.append(str(rng.choice(vocab)))
+        if i % 10 == 0:
+            clean_words.append("the")   # stopword presence
+    clean = " ".join(clean_words)
+    spam_line = "buy cheap stuff now call toll free number today"
+    spammy = "\n".join([spam_line] * 20)
+    short = "way too short"
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "text": [clean, spammy, short]})
+    out = gopher_quality_filter(spark.createDataFrame(pdf)) \
+        .toPandas().set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "keep"]) is True
+    assert list(out.loc[0, "drop_reasons"]) == []
+    assert bool(out.loc[1, "keep"]) is False
+    assert "dup_line_frac" in list(out.loc[1, "drop_reasons"])
+    assert "dup_5gram_token_frac" in list(out.loc[1, "drop_reasons"])
+    assert bool(out.loc[2, "keep"]) is False
+    assert "too_few_words" in list(out.loc[2, "drop_reasons"])
+    # threshold override: loosening every bound keeps the spam doc
+    loose = gopher_quality_filter(
+        spark.createDataFrame(pdf),
+        thresholds={"min_words": 1, "max_dup_line_frac": 1.0,
+                    "max_dup_line_char_frac": 1.0,
+                    "max_top_2gram_char_frac": 1.0,
+                    "max_top_3gram_char_frac": 1.0,
+                    "max_top_4gram_char_frac": 1.0,
+                    "max_dup_5gram_token_frac": 1.0,
+                    "min_stopword_ratio": 0.0,
+                    "min_mean_word_len": 0.0}) \
+        .toPandas().set_index("doc_id").sort_index()
+    assert bool(loose.loc[1, "keep"]) is True

@@ -137,6 +137,74 @@ def cmd_subset(args):
     print(f"wrote subset to {args.out} (+ .mapping)")
 
 
+def cmd_curate(args):
+    """documents parquet -> curated corpus + audit table: the
+    composed training-data hygiene chain (PII scrub -> Gopher
+    quality gate -> exact dedup -> MinHash-LSH near-dedup with exact
+    Jaccard verify). Every document lands in the audit output with
+    its keep decision and the full reason list; only kept docs land
+    in --out. Deterministic: dedup keeps the smallest doc_id of each
+    duplicate group."""
+    spark = _session(args)
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import (duplicate_groups, exact_duplicates,
+                                  minhash_lsh_pairs,
+                                  minhash_signatures_md5,
+                                  ngram_jaccard_pairs)
+    from .operators.text import gopher_quality_filter, pii_redact
+
+    docs = spark.read.parquet(args.docs)
+    tc = "text"
+    if args.pii:
+        docs = pii_redact(docs, text_col="text",
+                          out_col="redacted_text")
+        tc = "redacted_text"
+
+    gate = gopher_quality_filter(docs, text_col=tc) \
+        .select("doc_id", "drop_reasons", "keep") \
+        .localCheckpoint(eager=False)   # fans into audit + dedup
+    kept = docs.join(gate.filter("keep").select("doc_id"), "doc_id")
+
+    # exact dedup: keep the smallest doc_id of each content group
+    exact_losers = exact_duplicates(kept, text_col=tc).select(
+        F.explode(F.expr(
+            "slice(doc_ids, 2, size(doc_ids) - 1)")).alias("doc_id"),
+        F.lit("exact_duplicate").alias("extra"))
+
+    # near dedup on the exact-deduped survivors: LSH candidates ->
+    # exact n-gram Jaccard verify -> connected groups -> keep reps
+    survivors = kept.join(exact_losers.select("doc_id"), "doc_id",
+                          "left_anti")
+    sigs = minhash_signatures_md5(survivors, text_col=tc,
+                                  num_hashes=32, k=args.shingle_k)
+    cand = minhash_lsh_pairs(sigs, num_hashes=32, bands=8)
+    pairs = ngram_jaccard_pairs(survivors, cand, text_col=tc,
+                                k=args.shingle_k,
+                                threshold=args.jaccard)
+    near_losers = (duplicate_groups(pairs)
+                   .filter(F.col("doc_id") != F.col("group_rep"))
+                   .select("doc_id",
+                           F.lit("near_duplicate").alias("extra")))
+
+    losers = exact_losers.unionByName(near_losers)
+    audit = (gate.join(losers, "doc_id", "left")
+             .select("doc_id",
+                     F.when(F.col("extra").isNotNull(),
+                            F.array_union("drop_reasons",
+                                          F.array("extra")))
+                     .otherwise(F.col("drop_reasons"))
+                     .alias("drop_reasons"))
+             .withColumn("keep", F.size("drop_reasons") == 0))
+    # barrier: the audit frame feeds BOTH writes (audit + corpus
+    # semi-join); without it the whole dedup chain runs twice
+    audit = audit.localCheckpoint(eager=False)
+    audit.write.mode("overwrite").parquet(args.out + ".audit")
+    (docs.join(audit.filter("keep").select("doc_id"), "doc_id")
+     .write.mode("overwrite").parquet(args.out))
+    print(f"wrote curated corpus to {args.out} (+ .audit)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("pyshepseg_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -220,6 +288,22 @@ def main(argv=None):
     su.add_argument("--out", required=True)
     _add_common(su)
     su.set_defaults(fn=cmd_subset)
+
+    cu = sub.add_parser("curate",
+                        help="document curation: PII scrub + Gopher "
+                             "gate + exact/near dedup -> corpus + "
+                             "audit")
+    cu.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text)")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--pii", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="scrub PII before gating (default on)")
+    cu.add_argument("--jaccard", type=float, default=0.8,
+                    help="near-dup verify threshold")
+    cu.add_argument("--shingle-k", type=int, default=5)
+    _add_common(cu)
+    cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -312,8 +312,8 @@ def gopher_quality_filter(docs, text_col="text", id_col="doc_id",
     id; everything else is column arithmetic on the joined row."""
     th = dict(GOPHER_THRESHOLDS)
     th.update(thresholds or {})
-    q = quality_score(docs.select(F.col(id_col), F.col(text_col))) \
-        .drop(text_col)
+    q = quality_score(docs.select(F.col(id_col), F.col(text_col)),
+                      text_col=text_col).drop(text_col)
     r = repetition_signals(docs, text_col=text_col, id_col=id_col)
     j = q.join(r, id_col)
     rules = [

@@ -79,3 +79,54 @@ def test_cli_segment_global_centres_roundtrip(tmp_path):
         f"SELECT COUNT(*) AS n, MAX(octet_length(segdata)) AS m "
         f"FROM '{out}/*.parquet'").fetchone()
     assert n[0] > 0 and n[1] > 0
+
+
+def test_cli_curate_end_to_end(tmp_path):
+    """curate: PII scrub + Gopher gate + exact/near dedup -> kept
+    corpus + per-doc audit with reasons."""
+    import subprocess
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(400)]
+
+    def mkdoc(n=150):
+        ws = [str(w) for w in rng.choice(vocab, size=n)]
+        for i in range(0, n, 12):
+            ws[i] = "the"                     # stopword presence
+        return " ".join(ws)
+
+    good = [mkdoc() for _ in range(6)]
+    texts = list(good)
+    texts.append(good[0])                     # exact duplicate
+    near = good[1].split()
+    near[5] = "changed"
+    texts.append(" ".join(near))              # near duplicate
+    texts.append("too short")                 # gated
+    texts.append(mkdoc() + " mail x@y.dev")   # pii but keepable
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "curated.parquet")
+    pdf.to_parquet(docs)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pyshepseg_spark.cli", "curate",
+         "--docs", docs, "--out", out],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    audit = duckdb.sql(
+        f"SELECT * FROM '{out}.audit/*.parquet' ORDER BY doc_id").df()
+    kept = duckdb.sql(
+        f"SELECT doc_id FROM '{out}/*.parquet' ORDER BY doc_id").df()
+    reasons = {int(r.doc_id): list(r.drop_reasons)
+               for r in audit.itertuples()}
+    assert len(audit) == len(texts)           # every doc audited
+    assert reasons[6] == ["exact_duplicate"]
+    assert reasons[7] == ["near_duplicate"]
+    assert "too_few_words" in reasons[8]
+    assert reasons[9] == []                   # pii masked, not dropped
+    assert set(kept.doc_id) == {0, 1, 2, 3, 4, 5, 9}

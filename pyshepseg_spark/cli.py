@@ -140,8 +140,9 @@ def cmd_subset(args):
 def cmd_curate(args):
     """documents parquet -> curated corpus + audit table: the
     composed training-data hygiene chain (PII scrub -> Gopher
-    quality gate -> exact dedup -> MinHash-LSH near-dedup with exact
-    Jaccard verify). Every document lands in the audit output with
+    quality gate -> optional benchmark decontamination -> exact
+    dedup -> MinHash-LSH near-dedup with exact Jaccard verify).
+    Every document lands in the audit output with
     its keep decision and the full reason list; only kept docs land
     in --out. Deterministic: dedup keeps the smallest doc_id of each
     duplicate group."""
@@ -166,6 +167,21 @@ def cmd_curate(args):
         .localCheckpoint(eager=False)   # fans into audit + dedup
     kept = docs.join(gate.filter("keep").select("doc_id"), "doc_id")
 
+    # benchmark decontamination BEFORE dedup, so a contaminated doc
+    # never becomes the kept representative of a duplicate group
+    # (dropping it later would lose the group's content entirely)
+    if args.benchmark:
+        from .operators.dedup import contamination_flags
+        bench = spark.read.parquet(args.benchmark)
+        contam_losers = (contamination_flags(
+            kept, bench, text_col=tc, n=args.contamination_ngram)
+            .filter("contaminated")
+            .select("doc_id", F.lit("contaminated").alias("extra")))
+        kept = kept.join(contam_losers.select("doc_id"), "doc_id",
+                         "left_anti")
+    else:
+        contam_losers = None
+
     # exact dedup: keep the smallest doc_id of each content group
     exact_losers = exact_duplicates(kept, text_col=tc).select(
         F.explode(F.expr(
@@ -188,6 +204,8 @@ def cmd_curate(args):
                            F.lit("near_duplicate").alias("extra")))
 
     losers = exact_losers.unionByName(near_losers)
+    if contam_losers is not None:
+        losers = losers.unionByName(contam_losers)
     audit = (gate.join(losers, "doc_id", "left")
              .select("doc_id",
                      F.when(F.col("extra").isNotNull(),
@@ -302,6 +320,11 @@ def main(argv=None):
     cu.add_argument("--jaccard", type=float, default=0.8,
                     help="near-dup verify threshold")
     cu.add_argument("--shingle-k", type=int, default=5)
+    cu.add_argument("--benchmark", default=None,
+                    help="parquet with (text): drop docs sharing any "
+                         "word n-gram with this eval benchmark "
+                         "(GPT-3-style decontamination)")
+    cu.add_argument("--contamination-ngram", type=int, default=13)
     _add_common(cu)
     cu.set_defaults(fn=cmd_curate)
 

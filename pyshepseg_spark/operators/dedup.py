@@ -573,3 +573,68 @@ def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",
                     cosine_expr("v_a", "v_b").alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .distinct())
+
+
+def shingles_md5_full(text_col, k=13):
+    """Word k-shingle FULL md5 hex strings as array<string>. Same
+    normalization and slice clamping as :func:`shingles_md5` (a doc
+    shorter than ``k`` words yields one whole-text shingle), but the
+    untruncated 128-bit digest: at decontamination scale a benchmark
+    gram must never collide with an unrelated corpus gram, and the
+    32-char hex is still far cheaper to exchange than a 13-word
+    string."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+
+    def gram(i):
+        return F.md5(F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.transform(idx, gram)
+
+
+def contamination_flags(docs, benchmark, text_col="text",
+                        id_col="doc_id", bench_text_col="text",
+                        n=13):
+    """Benchmark decontamination signals (the GPT-3 / PaLM protocol,
+    Brown et al. 2020 App. C): a training document is contaminated
+    if it shares any word ``n``-gram (default 13) with an evaluation
+    benchmark. Returns ``docs`` + ``n_contaminated_grams`` (count of
+    DISTINCT doc grams that appear anywhere in the benchmark) +
+    ``contaminated`` bool.
+
+    Scale shape: the benchmark side is the small one (eval suites
+    are MBs; the corpus is the 100 TB side) — its distinct gram set
+    is broadcast, so the corpus side never shuffles: explode grams
+    (map-side), distinct-per-doc via the grouped count over the
+    broadcast-hash semi join, then one hash-join back to ``docs`` on
+    the id. No shuffle touches document text."""
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles_md5_full(text_col, n)).alias("g")
+    ).dropDuplicates([id_col, "g"])
+    bench_grams = (benchmark
+                   .select(F.explode(
+                       shingles_md5_full(bench_text_col, n))
+                       .alias("g"))
+                   .dropDuplicates(["g"]))
+    hits = (doc_grams
+            .join(F.broadcast(bench_grams), "g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated_grams")))
+    return (docs.join(hits, id_col, "left")
+            .withColumn("n_contaminated_grams",
+                        F.coalesce("n_contaminated_grams", F.lit(0)))
+            .withColumn("contaminated",
+                        F.col("n_contaminated_grams") > 0))
+
+
+def decontaminate(docs, benchmark, text_col="text", id_col="doc_id",
+                  bench_text_col="text", n=13):
+    """Drop benchmark-contaminated docs (see
+    :func:`contamination_flags`); the audit-preserving form is the
+    flags frame itself."""
+    return (contamination_flags(docs, benchmark, text_col=text_col,
+                                id_col=id_col,
+                                bench_text_col=bench_text_col, n=n)
+            .filter(~F.col("contaminated"))
+            .drop("n_contaminated_grams", "contaminated"))

@@ -1133,3 +1133,101 @@ def test_gopher_quality_filter(spark):
                     "min_mean_word_len": 0.0}) \
         .toPandas().set_index("doc_id").sort_index()
     assert bool(loose.loc[1, "keep"]) is True
+
+
+def test_contamination_flags_crafted(spark):
+    """Planted 13-gram overlap: exact span copy flags, 12-word
+    overlap does not, short docs clamp to a whole-text shingle."""
+    from pyshepseg_spark.operators.dedup import (contamination_flags,
+                                                 decontaminate)
+    words = [f"w{i}" for i in range(60)]
+    doc_a = " ".join(words[:40])               # contains bench span
+    doc_b = " ".join(words[30:55])             # shares only 12-grams
+    doc_c = "completely unrelated text here"   # < 13 words, clean
+    bench_q = " ".join(words[10:23])           # exactly 13 words
+    bench_short = "completely unrelated text here"  # clamp == doc_c
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [doc_a, doc_b, doc_c]}))
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"text": [bench_q]}))
+    got = {r.doc_id: (r.contaminated, r.n_contaminated_grams)
+           for r in contamination_flags(docs, bench).collect()}
+    assert got[1] == (True, 1)
+    # doc_b overlaps bench_q by words 30..22? no: bench is 10..22,
+    # doc_b starts at 30 — zero shared 13-grams
+    assert got[2] == (False, 0)
+    assert got[3] == (False, 0)
+
+    # whole-text clamp: a short benchmark doc flags its exact twin
+    bench2 = spark.createDataFrame(pd.DataFrame(
+        {"text": [bench_q, bench_short]}))
+    got2 = {r.doc_id: r.contaminated
+            for r in contamination_flags(docs, bench2).collect()}
+    assert got2 == {1: True, 2: False, 3: True}
+    kept = decontaminate(docs, bench2)
+    assert sorted(r.doc_id for r in kept.collect()) == [2]
+    assert kept.columns == docs.columns
+
+
+def test_contamination_flags_cross_engine(spark, docs):
+    """DuckDB replay over real corpus text: benchmark = spans lifted
+    from some documents; per-doc distinct-gram hit counts must match
+    exactly."""
+    import duckdb
+    from pyshepseg_spark.operators.dedup import contamination_flags
+    pdf = docs.limit(60).select("doc_id", "text").toPandas()
+    # benchmark: 13-word spans lifted from every 4th doc, plus noise
+    spans = []
+    for r in pdf.itertuples():
+        if r.doc_id % 4 == 0:
+            w = r.text.lower().split()
+            if len(w) >= 20:
+                spans.append(" ".join(w[3:16] if len(w) >= 16
+                                      else w))
+    spans.append("no corpus document contains this exact sentence "
+                 "of thirteen distinct filler words okay")
+    bench = pd.DataFrame({"text": spans})
+    got = (contamination_flags(spark.createDataFrame(pdf),
+                               spark.createDataFrame(bench))
+           .select("doc_id", "n_contaminated_grams", "contaminated")
+           .toPandas().sort_values("doc_id", ignore_index=True))
+
+    con = duckdb.connect()
+    con.register("d", pdf)
+    con.register("b", bench)
+
+    def gram_cte(src, idc):
+        return f"""
+            SELECT {idc} string_split(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM {src}"""
+    want = con.execute(f"""
+        WITH dw AS ({gram_cte('d', 'doc_id,')}),
+        dg AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(list_slice(w, i, i + 12),
+                       ' ')) AS g
+            FROM dw, LATERAL unnest(generate_series(
+                1, greatest(len(w) - 12, 1))) AS t(i)
+        ),
+        bw AS ({gram_cte('b', '')}),
+        bg AS (
+            SELECT DISTINCT md5(array_to_string(
+                       list_slice(w, i, i + 12), ' ')) AS g
+            FROM bw, LATERAL unnest(generate_series(
+                1, greatest(len(w) - 12, 1))) AS t(i)
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n
+            FROM dg JOIN bg USING (g) GROUP BY doc_id
+        )
+        SELECT doc_id,
+               COALESCE(n, 0) AS n_contaminated_grams,
+               COALESCE(n, 0) > 0 AS contaminated
+        FROM d LEFT JOIN hits USING (doc_id)
+        ORDER BY doc_id""").df()
+    assert got.contaminated.sum() > 0          # non-vacuous
+    assert (got.n_contaminated_grams.to_numpy()
+            == want.n_contaminated_grams.to_numpy()).all()
+    assert (got.contaminated.to_numpy()
+            == want.contaminated.to_numpy()).all()

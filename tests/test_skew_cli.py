@@ -130,3 +130,48 @@ def test_cli_curate_end_to_end(tmp_path):
     assert "too_few_words" in reasons[8]
     assert reasons[9] == []                   # pii masked, not dropped
     assert set(kept.doc_id) == {0, 1, 2, 3, 4, 5, 9}
+
+
+def test_cli_curate_with_benchmark_decontamination(tmp_path):
+    """--benchmark drops docs sharing a 13-gram with the eval set,
+    with reason 'contaminated' in the audit."""
+    import subprocess
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(400)]
+
+    def mkdoc(n=150):
+        ws = [str(w) for w in rng.choice(vocab, size=n)]
+        for i in range(0, n, 12):
+            ws[i] = "the"
+        return " ".join(ws)
+
+    texts = [mkdoc() for _ in range(5)]
+    # benchmark lifts a 13-word span from doc 2
+    span = " ".join(texts[2].split()[40:53])
+    bench = pd.DataFrame({"text": [span, "unrelated eval question"]})
+    docs = str(tmp_path / "docs.parquet")
+    bpath = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "curated.parquet")
+    pd.DataFrame({"doc_id": range(len(texts)),
+                  "text": texts}).to_parquet(docs)
+    bench.to_parquet(bpath)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pyshepseg_spark.cli", "curate",
+         "--docs", docs, "--out", out, "--benchmark", bpath],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    audit = duckdb.sql(
+        f"SELECT * FROM '{out}.audit/*.parquet' ORDER BY doc_id").df()
+    reasons = {int(r.doc_id): list(r.drop_reasons)
+               for r in audit.itertuples()}
+    assert reasons[2] == ["contaminated"]
+    kept = duckdb.sql(
+        f"SELECT doc_id FROM '{out}/*.parquet'").df()
+    assert set(kept.doc_id) == {0, 1, 3, 4}

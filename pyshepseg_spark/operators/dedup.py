@@ -604,14 +604,16 @@ def contamination_flags(docs, benchmark, text_col="text",
 
     Scale shape: the benchmark side is the small one (eval suites
     are MBs; the corpus is the 100 TB side) — its distinct gram set
-    is broadcast, so the corpus side never shuffles: explode grams
-    (map-side), distinct-per-doc via the grouped count over the
-    broadcast-hash semi join, then one hash-join back to ``docs`` on
-    the id. No shuffle touches document text."""
+    is broadcast, so the corpus side never shuffles before the
+    probe: per-doc gram dedup happens INSIDE the row
+    (array_distinct, map-side — not a corpus-wide dropDuplicates
+    shuffle of (id, gram) pairs), then explode feeds the
+    broadcast-hash join and only the HIT rows reach the per-doc
+    count's exchange. No shuffle touches document text."""
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(shingles_md5_full(text_col, n)).alias("g")
-    ).dropDuplicates([id_col, "g"])
+        F.explode(F.array_distinct(
+            shingles_md5_full(text_col, n))).alias("g"))
     bench_grams = (benchmark
                    .select(F.explode(
                        shingles_md5_full(bench_text_col, n))

@@ -218,8 +218,19 @@ def cmd_curate(args):
     # semi-join); without it the whole dedup chain runs twice
     audit = audit.localCheckpoint(eager=False)
     audit.write.mode("overwrite").parquet(args.out + ".audit")
-    (docs.join(audit.filter("keep").select("doc_id"), "doc_id")
-     .write.mode("overwrite").parquet(args.out))
+    corpus = docs.join(audit.filter("keep").select("doc_id"),
+                       "doc_id")
+    if args.token_budget is not None:
+        # final mixing step: keep the best-quality subset that fits
+        # the token budget (deterministic two-phase selection)
+        from .operators.text import (quality_score,
+                                     select_token_budget,
+                                     token_counts)
+        scored = token_counts(quality_score(corpus, text_col=tc),
+                              text_col=tc)
+        corpus = select_token_budget(scored, args.token_budget) \
+            .select(*corpus.columns)
+    corpus.write.mode("overwrite").parquet(args.out)
     print(f"wrote curated corpus to {args.out} (+ .audit)")
 
 
@@ -325,6 +336,10 @@ def main(argv=None):
                          "word n-gram with this eval benchmark "
                          "(GPT-3-style decontamination)")
     cu.add_argument("--contamination-ngram", type=int, default=13)
+    cu.add_argument("--token-budget", type=int, default=None,
+                    help="keep only the best-quality docs whose "
+                         "summed whitespace-token count fits this "
+                         "budget (deterministic)")
     _add_common(cu)
     cu.set_defaults(fn=cmd_curate)
 

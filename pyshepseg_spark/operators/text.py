@@ -397,3 +397,54 @@ def fingerprint(docs, text_col="text", window: int = 8):
         return pd.Series(out)
 
     return docs.withColumn("fingerprint", fp(F.col(text_col)))
+
+
+def select_token_budget(docs, budget, quality_col="quality",
+                        token_col="n_ws_tokens", id_col="doc_id",
+                        n_bins=4096):
+    """Quality-ranked token-budget selection — the data-mixing step
+    that turns a scored corpus into a training set: pick the maximal
+    quality-descending prefix of documents whose summed token count
+    fits ``budget``, ties (same quality bin) broken by ascending
+    ``id_col`` so the selection is deterministic and exactly
+    replayable in SQL.
+
+    Exact semantics: order docs by (quality bin DESC, id ASC); a doc
+    is selected iff the running token sum through it is <= budget.
+    Quality is discretized into ``n_bins`` equal-width bins over
+    [0, 1] (values outside are clamped), so "same quality bin" is
+    the tie class.
+
+    Scale shape (the W1/W2 two-phase discipline — no global sort,
+    no global window): phase 1 aggregates tokens per bin (<= n_bins
+    rows to the driver — bounded, independent of corpus size) and
+    the driver picks the boundary bin and its residual budget;
+    phase 2 selects whole bins above the boundary with a plain
+    filter (no ordering needed — prefix membership is
+    order-invariant inside fully-taken bins) and runs the cumsum
+    window ONLY over the boundary bin's docs (~1/n_bins of the
+    corpus). Returns ``docs``'s columns for the selected subset."""
+    from pyspark.sql import Window
+    b = F.floor(F.least(F.greatest(F.col(quality_col), F.lit(0.0)),
+                        F.lit(1.0)) * (n_bins - 1)).cast("int")
+    binned = docs.withColumn("__qbin", b)
+    hist = (binned.groupBy("__qbin")
+            .agg(F.sum(token_col).alias("t"))
+            .orderBy(F.desc("__qbin")).collect())
+    taken = 0
+    boundary, residual = None, 0
+    for r in hist:
+        if taken + r["t"] <= budget:
+            taken += r["t"]
+        else:
+            boundary, residual = r["__qbin"], budget - taken
+            break
+    if boundary is None:                  # everything fits
+        return docs
+    full = binned.filter(F.col("__qbin") > boundary)
+    w = Window.partitionBy("__qbin").orderBy(id_col)
+    edge = (binned.filter(F.col("__qbin") == boundary)
+            .withColumn("__cum", F.sum(token_col).over(w))
+            .filter(F.col("__cum") <= F.lit(int(residual)))
+            .drop("__cum"))
+    return full.unionByName(edge).drop("__qbin")

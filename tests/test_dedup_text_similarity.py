@@ -1231,3 +1231,35 @@ def test_contamination_flags_cross_engine(spark, docs):
             == want.n_contaminated_grams.to_numpy()).all()
     assert (got.contaminated.to_numpy()
             == want.contaminated.to_numpy()).all()
+
+
+def test_select_token_budget_cross_engine(spark, docs):
+    """The two-phase (histogram -> boundary-bin window) selection
+    must equal the global cumsum rule exactly: order by (quality
+    bin DESC, doc_id ASC), select while running token sum fits."""
+    import duckdb
+    from pyshepseg_spark.operators.text import select_token_budget
+    scored = token_counts(quality_score(docs.select("doc_id",
+                                                    "text")))
+    pdf = scored.select("doc_id", "quality",
+                        "n_ws_tokens").toPandas()
+    total = int(pdf.n_ws_tokens.sum())
+    con = duckdb.connect()
+    con.register("d", pdf)
+    for budget in [0, total // 10, total // 3, total - 1, total + 5]:
+        got = sorted(
+            r.doc_id for r in select_token_budget(
+                scored, budget).select("doc_id").collect())
+        want = sorted(con.execute(f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       SUM(n_ws_tokens) OVER (
+                           ORDER BY CAST(floor(least(greatest(
+                               quality, 0.0), 1.0) * 4095) AS INT)
+                               DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d)
+            WHERE cum <= {budget}""").df().doc_id)
+        assert got == want, budget
+    assert len(select_token_budget(scored, total + 5).columns) \
+        == len(scored.columns)

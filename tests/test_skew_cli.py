@@ -163,7 +163,8 @@ def test_cli_curate_with_benchmark_decontamination(tmp_path):
 
     r = subprocess.run(
         [sys.executable, "-m", "pyshepseg_spark.cli", "curate",
-         "--docs", docs, "--out", out, "--benchmark", bpath],
+         "--docs", docs, "--out", out, "--benchmark", bpath,
+         "--token-budget", "100000"],   # generous: keeps all
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
 

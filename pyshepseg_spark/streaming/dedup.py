@@ -404,3 +404,62 @@ def compact_signature_store(spark, store_path, target_files=8):
     (compacted.write.mode("overwrite")
      .partitionBy("batch_id").parquet(store_path))
     return compacted.count()
+
+
+def decontaminate_writer(bench_grams_df, out_path, text_col="text",
+                         id_col="doc_id", n=13):
+    """foreachBatch writer for streaming benchmark decontamination:
+    each micro-batch's docs are probed against the STATIC benchmark
+    gram set (dedup.contamination_flags — broadcast bench side, no
+    corpus-side text shuffle) and only clean rows land in
+    ``out_path``. Stateless across batches (the benchmark never
+    changes mid-stream), so exactly-once comes purely from the
+    batch_id dynamic-partition overwrite: a replayed batch replaces
+    its own output partition bit-for-bit.
+
+    ``bench_grams_df`` is the raw benchmark docs frame (any frame
+    with a text column); gram extraction happens per batch on the
+    bench side too, but Spark caches the broadcast after the first
+    build — pass ``.cache()``'d input if the suite is large."""
+    from ..operators.dedup import contamination_flags
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        clean = (contamination_flags(batch_df, bench_grams_df,
+                                     text_col=text_col,
+                                     id_col=id_col, n=n)
+                 .filter("NOT contaminated")
+                 .drop("n_contaminated_grams", "contaminated")
+                 .withColumn("batch_id", F.lit(batch_id)))
+        (clean.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
+    return process
+
+
+def streaming_decontaminate(spark, docs_path, bench_path, out_path,
+                            checkpoint_path, schema=None,
+                            text_col="text", id_col="doc_id", n=13,
+                            max_files_per_trigger=1,
+                            trigger_once=True):
+    """Streaming ingest decontamination: file-source stream over an
+    append-only documents table -> decontaminate_writer against a
+    static benchmark parquet. Restart processes only new files (the
+    streaming checkpoint tracks progress); the union of all clean
+    partitions equals batch decontaminate() on the full table."""
+    if schema is None:
+        schema = ("doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+    bench = spark.read.parquet(bench_path).cache()
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(docs_path))
+    writer = (stream.writeStream
+              .foreachBatch(decontaminate_writer(
+                  bench, out_path, text_col=text_col,
+                  id_col=id_col, n=n))
+              .option("checkpointLocation", checkpoint_path))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

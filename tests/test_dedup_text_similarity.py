@@ -1263,3 +1263,41 @@ def test_select_token_budget_cross_engine(spark, docs):
         assert got == want, budget
     assert len(select_token_budget(scored, total + 5).columns) \
         == len(scored.columns)
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination over two file deliveries == batch
+    decontaminate on the full table; checkpoint restart processes
+    only the new files."""
+    import duckdb
+    from pyshepseg_spark.operators.dedup import decontaminate
+    from pyshepseg_spark.streaming.dedup import (
+        streaming_decontaminate)
+    words = [f"v{i}" for i in range(80)]
+    mk = lambda a, b: " ".join(words[a:b])
+    rows1 = pd.DataFrame({"doc_id": [0, 1],
+                          "text": [mk(0, 30), mk(25, 60)]})
+    rows2 = pd.DataFrame({"doc_id": [2, 3],
+                          "text": [mk(40, 70), "tiny clean doc"]})
+    bench = pd.DataFrame({"text": [mk(5, 18)]})   # hits doc 0 only
+    src = str(tmp_path / "docs")
+    bpath = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    for add in (rows1, rows2):
+        spark.createDataFrame(bench).write.mode("overwrite") \
+            .parquet(bpath)
+        spark.createDataFrame(add).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = streaming_decontaminate(spark, src, bpath, out, ckpt,
+                                    schema=schema)
+        q.awaitTermination(120)
+
+    got = sorted(r.doc_id
+                 for r in spark.read.parquet(out).collect())
+    full = pd.concat([rows1, rows2], ignore_index=True)
+    want = sorted(r.doc_id for r in decontaminate(
+        spark.createDataFrame(full),
+        spark.createDataFrame(bench)).collect())
+    assert got == want == [1, 2, 3]

@@ -49,6 +49,21 @@ def get_spark(app_name: str = "pyshepseg_spark",
          # and ParquetSizeOverflowException (>2 GiB limit, measured)
          .config("spark.hadoop.parquet.statistics.truncate.length",
                  "64")
+         # ...but truncation CANNOT shorten a max whose prefix is
+         # all-0xFF (rounding the last kept byte up would overflow,
+         # so parquet-mr keeps the FULL value) — and raster payloads
+         # routinely START with the nodata margin, 65535 = 0xFFFF
+         # repeated. Measured: a 14592^2 image (1.28 GB value)
+         # wrote a 1.22 GB footer (one untruncated max) that then
+         # failed every read with thrift's 100 MB message cap.
+         # Stats on opaque payload blobs are useless for pruning;
+         # disable them per-column (other columns keep min/max).
+         .config("spark.hadoop.parquet.column.statistics."
+                 "enabled#bytes", "false")
+         .config("spark.hadoop.parquet.column.statistics."
+                 "enabled#segdata", "false")
+         .config("spark.hadoop.parquet.column.statistics."
+                 "enabled#pixels", "false")
          .config("spark.ui.showConsoleProgress", "false"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

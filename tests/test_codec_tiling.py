@@ -1,5 +1,7 @@
 """Codec roundtrips and tile-grid semantics (no Spark)."""
 
+import os
+
 import numpy as np
 
 from pyshepseg_spark.operators.tiling import morton_cell, tile_grid
@@ -241,3 +243,37 @@ def test_iceberg_round_trip_when_runtime_present(spark, tmp_path):
     plan = back.filter(F.col("v") == 3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "v = 3" in plan or "filters=v = 3" in plan
+
+
+def test_parquet_payload_stats_disabled_for_ff_prefix(spark,
+                                                      tmp_path):
+    """Opaque payload columns must carry NO parquet min/max stats:
+    stat truncation cannot shorten a max whose kept prefix is all
+    0xFF (rounding up overflows, parquet-mr falls back to the FULL
+    value) — and raster payloads start with the 0xFFFF nodata
+    margin, which put a 1.2 GB untruncated max into a giant
+    fixture's footer and broke every read on thrift's 100 MB cap.
+    session.get_spark disables stats per-column for bytes/segdata/
+    pixels; this pins the conf with a small 0xFF-prefixed value."""
+    import glob
+    import struct
+
+    import pandas as pd
+    val = b"\xff" * 4096 + b"payload" * 1000
+    pdf = pd.DataFrame({"image_id": ["a"], "bytes": [val],
+                        "segdata": [val], "pixels": [val]})
+    out = str(tmp_path / "ff.parquet")
+    spark.createDataFrame(pdf).write.parquet(out)
+    import pyarrow.parquet as pq
+    f = glob.glob(out + "/*.parquet")[0]
+    rg = pq.ParquetFile(f).metadata.row_group(0)
+    cols = {rg.column(i).path_in_schema:
+            rg.column(i).statistics for i in range(rg.num_columns)}
+    for c in ("bytes", "segdata", "pixels"):
+        assert cols[c] is None or not cols[c].has_min_max, c
+    assert cols["image_id"].has_min_max     # others keep stats
+    sz = os.path.getsize(f)
+    with open(f, "rb") as fh:
+        fh.seek(sz - 8)
+        flen = struct.unpack("<I", fh.read(4))[0]
+    assert flen < 64 * 1024                 # footer is metadata-only

@@ -36,6 +36,27 @@ def md5_hash28(col):
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def _py_norm_grams_md5(norm: str, k: int) -> list[int]:
+    """md5-28bit hashes of word k-grams of an ALREADY-NORMALIZED
+    string — the exact Python twin of shingles_md5's JVM expression
+    (r06: the JVM form is an interpreted HOF — slice + concat_ws +
+    md5 + conv per gram, measured 2.5 s alone at sf1.0 — while MD5
+    is MD5 everywhere). Token split matches F.split(norm, " ") on
+    normalized_text output (single spaces, trimmed; '' splits to
+    ['']); gram construction matches slice's truncation and the
+    short-doc whole-text gram; int(hexdigest()[:7], 16) ==
+    conv(substring(md5(g), 1, 7), 16, 10). Verified bit-identical
+    through the oracle replays and output A/B at sf0.001..1.0."""
+    import hashlib
+    words = norm.split(" ")
+    upper = max(len(words) - k, 0)
+    return [
+        int(hashlib.md5(
+            " ".join(words[i:i + k]).encode("utf-8"))
+            .hexdigest()[:7], 16)
+        for i in range(upper + 1)]
+
+
 def shingles_md5(text_col, k=5):
     """Word k-shingle 28-bit hashes as array<long> (JVM-side only:
     split + transform + md5). Cross-engine twin of _shingles."""
@@ -58,62 +79,78 @@ def minhash_coeffs(num_hashes=32, seed=42):
 
 def minhash_signatures_md5(docs, text_col="text", id_col="doc_id",
                            num_hashes=32, k=5, seed=42):
-    """Oracle-able MinHash signatures: md5-28bit shingles, exact
-    (a*h+b) % P31 minima — entirely JVM expressions, no Python in
-    the hot path. ONE pass over the shingle array: the aggregate's
-    accumulator is the ``num_hashes`` running-minimum vector (the
-    previous form ran num_hashes independent transform+array_min
-    scans). Bit-identical minima: every hash value is < P31, so the
-    P31 initial accumulator never survives a non-empty array (and
-    shingles_md5 always emits >= 1 shingle for non-null text)."""
+    """Oracle-able MinHash signatures: md5-28bit shingles (JVM-side
+    — split/slice/md5 stay whole-stage expressions), exact
+    (a*h+b) % P31 minima. r06: the minima move from an interpreted
+    HOF aggregate (array accumulator rebuilt via zip_with per
+    shingle — Catalyst HOFs get no codegen) to one vectorized Arrow
+    pass: (a*h+b) % P31 is exact in uint64 (h < 2^28, a < 2^31 →
+    products < 2^59, no wraparound), so the numpy minima are
+    bit-identical to the JVM fold's (measured 3.43 s -> see
+    OPTIMIZATION_r06.md on the minhash_near_dups slot; outputs
+    verified equal at sf0.001..1.0). A doc with a NULL/empty
+    shingle array keeps the P31 init vector, exactly as the
+    aggregate's initial accumulator would survive."""
     from .skew import spread_small_scan
     coeffs = minhash_coeffs(num_hashes, seed)
+    a_co = np.asarray([a for a, _ in coeffs], dtype=np.uint64)
+    b_co = np.asarray([b for _, b in coeffs], dtype=np.uint64)
+    p31 = np.uint64(P31)
+
+    @pandas_udf("array<long>")
+    def sig(norm: pd.Series) -> pd.Series:
+        out = []
+        for nt in norm:
+            if nt is None:
+                # shingles_md5(NULL text) was NULL, and the JVM
+                # aggregate over a NULL array is NULL
+                out.append(None)
+                continue
+            x = np.asarray(_py_norm_grams_md5(nt, k),
+                           dtype=np.uint64)
+            vals = (x[None, :] * a_co[:, None] + b_co[:, None]) % p31
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
     docs = spread_small_scan(docs)
-    with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
-    a_arr = "array(" + ",".join(f"{a}L" for a, _ in coeffs) + ")"
-    b_arr = "array(" + ",".join(f"{b}L" for _, b in coeffs) + ")"
-    mh = F.expr(f"""
-      aggregate(sh,
-                array_repeat({P31}L, {num_hashes}),
-                (acc, x) -> zip_with(acc,
-                    sequence(0, {num_hashes - 1}),
-                    (m, i) -> least(m,
-                        (x * element_at({a_arr}, i + 1)
-                         + element_at({b_arr}, i + 1)) % {P31}L)))
-    """)
-    return with_sh.select(id_col, mh.alias("minhash"))
+    return docs.select(
+        id_col,
+        sig(normalized_text(F.col(text_col))).alias("minhash"))
 
 
 def simhash_md5(docs, text_col="text", id_col="doc_id", k=3,
                 hash_bits=28):
     """Oracle-able 28-bit SimHash: per bit position, the sign of
-    sum(+-1) over shingle-hash bits. JVM-side: one scalar
-    long-accumulator fold per bit over the shingle array, which is
-    materialized once and shared by all 28 bit expressions.
-
-    PERF NOTE (round-3 lesson, BENCH_r03 + PERF.md §one-pass-A/B):
-    collapsing the 28 folds into ONE aggregate whose accumulator is
-    a 28-element array rebuilt via a nested ``transform`` per
-    shingle was a measured 6.6x regression (simhash_near_dups
-    3.07 s -> 20.26 s at sf0.1) — Catalyst higher-order functions
-    run interpreted, so the array accumulator allocates and
-    re-evaluates 28 lambdas per shingle, while N independent scalar
-    folds stay cheap long accumulations. Keep the scalar form."""
+    sum(+-1) over shingle-hash bits. The md5 shingling stays a JVM
+    expression; the per-bit sign sums are one vectorized Arrow pass
+    (r06 — previously 28 scalar HOF folds over the shingle array,
+    each interpreted per element: the round-3 A/B showed HOF array
+    accumulators are 6.6x WORSE than scalar folds, and this round's
+    measurement showed even the scalar folds dominate the query at
+    5.7 s/sf1.0; pure integer popcount arithmetic is bit-exact in
+    numpy, outputs verified equal at sf0.001..1.0). A NULL/empty
+    shingle array yields word 0, exactly as 28 empty folds (acc 0,
+    no bit > 0) did."""
     from .skew import spread_small_scan
+    shifts = np.arange(hash_bits, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sim(norm: pd.Series) -> pd.Series:
+        out = np.zeros(len(norm), dtype=np.int64)
+        for i, nt in enumerate(norm):
+            if nt is None:
+                continue       # NULL text folded to word 0 before
+            x = np.asarray(_py_norm_grams_md5(nt, k),
+                           dtype=np.int64)
+            bits = (x[:, None] >> shifts[None, :]) & 1
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((v > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
     docs = spread_small_scan(docs)
-    with_sh = docs.select(id_col, shingles_md5(text_col, k).alias("sh"))
-
-    def bitsum(bp):
-        return lambda acc, x: acc + (
-            F.shiftright(x, bp).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    word = None
-    for bp in range(hash_bits):
-        v = F.aggregate(F.col("sh"), F.lit(0).cast("long"),
-                        bitsum(bp))
-        bit = F.when(v > 0, F.lit(1 << bp)).otherwise(F.lit(0))
-        word = bit if word is None else word + bit
-    return with_sh.select(id_col, word.cast("long").alias("simhash"))
+    return docs.select(
+        id_col,
+        sim(normalized_text(F.col(text_col))).alias("simhash"))
 
 
 def normalized_text(col):
@@ -294,7 +331,7 @@ def simhash_block_keys(sim, id_col="doc_id", blocks=4,
 
 def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
                       blocks=4, hash_bits=64,
-                      allow_recall_loss=False):
+                      allow_recall_loss=False, materialize=True):
     """Near-dup pairs by SimHash: block the hash_bits-wide hash into
     ``blocks`` segments, equi-join per block, verify Hamming distance
     with bit_count (JVM-side). Pass hash_bits=28 for the md5/oracle
@@ -317,6 +354,18 @@ def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
             f"recall guarantee needs blocks >= max_hamming + 1 "
             f"(got blocks={blocks}, max_hamming={max_hamming}); pass "
             "allow_recall_loss=True for best-effort blocking")
+    if materialize:
+        # r06: barrier the signature frame before the fan-out (the
+        # minhash_lsh_pairs lesson). Without it, BOTH self-join
+        # sides re-derive the full signature chain, AND the
+        # isnotnull filter Catalyst infers from the join keys
+        # duplicates the signature evaluation per side and pushes
+        # one copy BELOW the spread_small_scan exchange — a serial
+        # single-split pass (measured: 5.7 s -> 39 s when the
+        # signatures became a Python UDF; barriered: one signature
+        # pass total). At scale a signature table is materialized
+        # anyway; pass False to keep lineage.
+        sim = sim.localCheckpoint(eager=False)
     exploded = simhash_block_keys(sim, id_col=id_col, blocks=blocks,
                                   hash_bits=hash_bits)
     a = exploded.select(F.col(id_col).alias("a"), "block", "key",
@@ -559,19 +608,97 @@ def embedding_near_dups(emb, id_col="vec_id", vec_col="embedding",
     ANY ONE band (1 - (1 - p^(bits/bands))^bands — same config ~0.99).
     More bands = higher recall and more candidates to verify; the
     shuffle stays proportional to candidate count, never all-pairs.
-    bits must divide evenly by bands."""
-    from .similarity import cosine_expr
-    sk = hyperplane_band_keys(emb, id_col=id_col, vec_col=vec_col,
-                              bits=bits, bands=bands, seed=seed)
-    a = sk.select(F.col(id_col).alias("a"), "band", "key",
-                  F.col(vec_col).alias("v_a"))
-    b = sk.select(F.col(id_col).alias("b"), "band", "key",
-                  F.col(vec_col).alias("v_b"))
-    # verify before distinct: the dedup shuffles (a, b, cosine) only
-    return (a.join(b, ["band", "key"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b",
-                    cosine_expr("v_a", "v_b").alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
+    bits must divide evenly by bands.
+
+    r06 execution: the band self-join carries (id, band, key) ONLY —
+    vectors never enter the candidate shuffle (guide §2.3: decide
+    with small rows). Candidate pairs are verified by the
+    bit-identical JVM-fold cosine twin (similarity.fold_dots/
+    fold_norms) against a broadcast (id -> vector) matrix, so every
+    >=-threshold decision and the emitted ``cosine`` doubles equal
+    the previous cosine_expr verify exactly (verified at
+    sf0.001..1.0). The corpus matrix broadcast is bounded by the
+    embedding table's vector payload — the same bytes the old plan
+    shipped per-candidate through the join, now shipped once per
+    executor."""
+    from .similarity import (_as_matrix, _concat_batches,
+                             _np_elem_dtype, fold_dots_t, fold_norms)
+    vdt = _np_elem_dtype(emb, vec_col)
+    pdf = emb.select(id_col, vec_col).toPandas()
+    vecs = _as_matrix(pdf[vec_col], vdt)
+    ids_index = pd.Index(pdf[id_col])
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((ids_index, vecs))
+    thr = float(threshold)
+
+    # barrier the (id, band, key) frame before the self-join fan-out
+    # (the minhash/simhash lesson): one sketch-UDF pass total, and
+    # no join-key filter duplication below the exchange. Vectors are
+    # projected OUT before the checkpoint so it materializes ~12
+    # bytes/row, not bands x vector payload. The explicit
+    # repartition BY THE JOIN KEY before the barrier is what keeps
+    # the verify parallel: the band-join inputs are tiny (~3 MB at
+    # sf1.0), so a planner-inserted shuffle would be AQE-coalesced
+    # to ONE partition — and since the join OUTPUT is the candidate
+    # explosion (2.9M pairs at sf1.0, invisible to AQE's
+    # input-sized stage planning), the whole verify would run in
+    # one task (measured: 7 s single-task fold vs sub-second
+    # parallel). A user-specified partition count is never
+    # coalesced, and the checkpointed (band, key) partitioning is
+    # reusable by the join on either strategy (BHJ probes it
+    # in-place; SMJ at larger scale needs no exchange).
+    npart = emb.sparkSession.sparkContext.defaultParallelism
+    keys = hyperplane_band_keys(
+        emb, id_col=id_col, vec_col=vec_col, bits=bits, bands=bands,
+        seed=seed).select(id_col, "band", "key") \
+        .repartition(npart, "band", "key") \
+        .localCheckpoint(eager=False)
+    a = keys.select(F.col(id_col).alias("a"), "band", "key")
+    b = keys.select(F.col(id_col).alias("b"), "band", "key")
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b"))
+
+    def verify(it):
+        import pyarrow as pa
+        idx_, vecs_ = bc.value
+        nf = fold_norms(vecs_)
+        v64 = vecs_.astype(np.float64, copy=False)
+        vt = np.ascontiguousarray(vecs_.T)   # fold-replay source
+        for tbl in _concat_batches(it):
+            aa = tbl.column(0).combine_chunks()
+            bb = tbl.column(1).combine_chunks()
+            ia = idx_.get_indexer(
+                aa.to_numpy(zero_copy_only=False))
+            ib = idx_.get_indexer(
+                bb.to_numpy(zero_copy_only=False))
+            # fast float64 row-dot for the DECISION, then fold-exact
+            # replay of (a) every pair within 1e-4 of the threshold
+            # (the f32-product/sum-order error is <= ~2.4e-7, so only
+            # replayed pairs can change decision) and (b) every
+            # SURVIVOR (its cosine double is emitted downstream and
+            # must be the bit-exact fold value)
+            d = np.einsum("ij,ij->i", v64[ia], v64[ib])
+            cos = d / (nf[ia] * nf[ib])
+            keep = cos >= thr
+            redo = np.nonzero(keep
+                              | (np.abs(cos - thr) <= 1e-4))[0]
+            if len(redo):
+                ra, rb = ia[redo], ib[redo]
+                cos[redo] = fold_dots_t(vt[:, ra], vt[:, rb]) \
+                    / (nf[ra] * nf[rb])
+                keep = cos >= thr
+            if not keep.any():
+                continue
+            mask = pa.array(keep)
+            yield pa.record_batch(
+                [aa.filter(mask), bb.filter(mask),
+                 pa.array(cos[keep], pa.float64())],
+                names=["a", "b", "cosine"])
+
+    idt = dict(emb.select(F.col(id_col).alias("i")).dtypes)["i"]
+    return (cand.mapInArrow(verify,
+                            f"a {idt}, b {idt}, cosine double")
             .distinct())
 
 

@@ -31,6 +31,18 @@ def _count_token(words, token):
     return F.size(F.filter(words, pred))
 
 
+def _count_any_token(words, tokens):
+    """size(filter(words, w IN tokens)) — ONE interpreted-HOF array
+    scan for a whole marker set. Equals sum(_count_token(words, t)
+    for t in tokens) exactly: a token equals at most one marker, so
+    membership count == sum of per-marker counts (r06: the per-
+    marker form scanned the array len(tokens) times; HOFs are
+    interpreted per element, so scans are the cost)."""
+    def pred(w):
+        return w.isin(list(tokens))
+    return F.size(F.filter(words, pred))
+
+
 def language_id(docs, text_col="text"):
     """Heuristic language ID: score = count of per-language marker
     tokens; argmax via greatest over struct comparisons (pure SQL).
@@ -46,7 +58,8 @@ def language_id(docs, text_col="text"):
     words = F.col(wcol)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
-        s = sum((_count_token(words, m) for m in markers), F.lit(0))
+        # one membership scan per language (r06), not one per marker
+        s = _count_any_token(words, markers)
         scores.append(F.struct(s.alias("score"),
                                F.lit(lang).alias("lang")))
     best = F.greatest(*scores)
@@ -71,7 +84,7 @@ def quality_score(docs, text_col="text"):
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     stop = _LANG_MARKERS["en"]
     lwords = F.split(F.lower(t), r"\s+")
-    n_stop = sum((_count_token(lwords, m) for m in stop), F.lit(0))
+    n_stop = _count_any_token(lwords, stop)
     mean_wlen = F.when(n_words > 0,
                        (n_chars - n_words + 1) / n_words).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
@@ -106,20 +119,42 @@ def fingerprint_md5(docs, text_col="text", id_col="doc_id",
                     k: int = 3, window: int = 8):
     """Cross-engine winnowing fingerprint: word k-shingle md5-28bit
     hashes -> min per non-overlapping window of ``window`` shingles
-    -> bit_xor of the DISTINCT window minima. Pure JVM (posexplode +
-    two aggregations), and exactly replayable in ANSI SQL, so the
-    DuckDB oracle checks it bit-for-bit."""
-    from .dedup import shingles_md5
+    -> bit_xor of the DISTINCT window minima. The shingle hashes
+    stay JVM expressions (exactly replayable in ANSI SQL, so the
+    DuckDB oracle checks the result bit-for-bit); r06 folds the
+    per-window minima + distinct-xor into ONE vectorized Arrow pass
+    over the shingle array instead of a posexplode (one row per
+    shingle — |tokens| rows) feeding two shuffled aggregations.
+    Pure integer arithmetic (np.minimum.reduceat over consecutive
+    ``window``-chunks == groupBy(pos div window).min; xor over
+    np.unique == bit_xor(DISTINCT)), bit-identical — verified at
+    sf0.001..1.0. Docs with NULL text produced no exploded rows and
+    were absent from the old output; the explicit isNotNull filter
+    reproduces that."""
+    from .dedup import _py_norm_grams_md5, normalized_text
     from .skew import spread_small_scan
     docs = spread_small_scan(docs)
-    sh = docs.select(id_col,
-                     F.posexplode(shingles_md5(text_col, k))
-                     .alias("pos", "h"))
-    mins = (sh.groupBy(id_col, (F.col("pos") / window)
-                       .cast("long").alias("win"))
-            .agg(F.min("h").alias("mn")))
-    return (mins.groupBy(id_col)
-            .agg(F.expr("bit_xor(DISTINCT mn)").alias("fingerprint")))
+
+    @pandas_udf("long")
+    def fp(norm: pd.Series) -> pd.Series:
+        out = np.zeros(len(norm), dtype=np.int64)
+        for i, nt in enumerate(norm):
+            if nt is None:
+                continue      # filtered out below; keep 1:1 shape
+            h = np.asarray(_py_norm_grams_md5(nt, k),
+                           dtype=np.int64)
+            mins = np.minimum.reduceat(h, np.arange(0, len(h),
+                                                    window))
+            v = np.int64(0)
+            for m in np.unique(mins):
+                v ^= m
+            out[i] = v
+        return pd.Series(out)
+
+    return (docs.filter(F.col(text_col).isNotNull())
+            .select(id_col,
+                    fp(normalized_text(F.col(text_col)))
+                    .alias("fingerprint")))
 
 
 # PII patterns: a deliberately conservative common-regex subset that
@@ -379,15 +414,10 @@ def fingerprint(docs, text_col="text", window: int = 8):
             if len(b) < window:
                 out[i] = np.int64(b.astype(np.uint64).sum())
                 continue
-            h = np.zeros(len(b) - window + 1, dtype=np.uint64)
-            acc = np.zeros(len(b), dtype=np.uint64)
-            # rolling hash via cumulative polynomial trick, vectorized
-            # with a strided window hash (fnv-ish per window)
+            # strided window hash (fnv-ish polynomial per window)
             mat = np.lib.stride_tricks.sliding_window_view(b, window)
-            h = mat.astype(np.uint64)
             weights = base ** np.arange(window, dtype=np.uint64)
-            h = (h * weights[None, :]).sum(axis=1)
-            _ = acc
+            h = (mat.astype(np.uint64) * weights[None, :]).sum(axis=1)
             mins = np.minimum.reduceat(
                 h, np.arange(0, len(h), window))
             v = np.uint64(0)

@@ -248,22 +248,33 @@ def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
         signatures = signatures.localCheckpoint(eager=False)
     banded = minhash_band_keys(signatures, id_col=id_col,
                                num_hashes=num_hashes, bands=bands)
-    left = banded.select(F.col(id_col).alias("a"), "band", "bucket",
-                         F.col("minhash").alias("sig_a"))
-    right = banded.select(F.col(id_col).alias("b"), "band", "bucket",
-                          F.col("minhash").alias("sig_b"))
-    # estimated Jaccard = fraction of matching signature positions,
-    # computed BEFORE the dedup so the distinct shuffles only
-    # (a, b, est) — never the two full signatures per candidate pair
+    # r06: the band self-join carries (id, band, bucket) ONLY — the
+    # num_hashes-long signatures previously rode through BOTH join
+    # exchanges (~2x120 MB at sf1.0 for 18k real candidates; guide
+    # §2.3: decide with small rows). Candidate pairs are deduped
+    # FIRST (distinct over ~16 B rows), then the two signatures are
+    # attached per unique pair from the barriered signature frame
+    # (AQE broadcasts the candidate list; the signature table is
+    # read map-side, never shuffled). est_jaccard is integer
+    # position-match arithmetic — identical values, and dedup-then-
+    # score emits exactly the set score-then-dedup did.
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    cand = (left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct())
+    sa = signatures.select(F.col(id_col).alias("a"),
+                           F.col("minhash").alias("sig_a"))
+    sb = signatures.select(F.col(id_col).alias("b"),
+                           F.col("minhash").alias("sig_b"))
     match = F.aggregate(
         F.zip_with("sig_a", "sig_b",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v)
-    return (left.join(right, ["band", "bucket"])
-            .filter(F.col("a") < F.col("b"))
+    return (cand.join(sa, "a").join(sb, "b")
             .select("a", "b",
-                    (match / F.size("sig_a")).alias("est_jaccard"))
-            .distinct())
+                    (match / F.size("sig_a")).alias("est_jaccard")))
 
 
 def ngram_jaccard_pairs(docs, cand_pairs, text_col="text",

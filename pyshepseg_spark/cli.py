@@ -217,7 +217,6 @@ def cmd_curate(args):
     # barrier: the audit frame feeds BOTH writes (audit + corpus
     # semi-join); without it the whole dedup chain runs twice
     audit = audit.localCheckpoint(eager=False)
-    audit.write.mode("overwrite").parquet(args.out + ".audit")
     corpus = docs.join(audit.filter("keep").select("doc_id"),
                        "doc_id")
     if args.token_budget is not None:
@@ -229,7 +228,26 @@ def cmd_curate(args):
         scored = token_counts(quality_score(corpus, text_col=tc),
                               text_col=tc)
         corpus = select_token_budget(scored, args.token_budget) \
-            .select(*corpus.columns)
+            .select(*corpus.columns) \
+            .localCheckpoint(eager=False)  # feeds audit + write
+        # r06 correctness fix (ADVICE): docs cut by the budget used
+        # to keep keep=true with empty drop_reasons in the audit
+        # while being absent from --out. Append an 'over_budget'
+        # reason and recompute keep, restoring the audit contract
+        # (only keep=true docs land in --out, every drop named).
+        cut = (audit.filter("keep").select("doc_id")
+               .join(corpus.select("doc_id"), "doc_id", "left_anti")
+               .withColumn("__cut", F.lit(True)))
+        audit = (audit.join(cut, "doc_id", "left")
+                 .select("doc_id",
+                         F.when(F.col("__cut").isNotNull(),
+                                F.array_union(
+                                    "drop_reasons",
+                                    F.array(F.lit("over_budget"))))
+                         .otherwise(F.col("drop_reasons"))
+                         .alias("drop_reasons"))
+                 .withColumn("keep", F.size("drop_reasons") == 0))
+    audit.write.mode("overwrite").parquet(args.out + ".audit")
     corpus.write.mode("overwrite").parquet(args.out)
     print(f"wrote curated corpus to {args.out} (+ .audit)")
 

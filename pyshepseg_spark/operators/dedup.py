@@ -403,17 +403,27 @@ def gram_positions_md5(docs, text_col="text", id_col="doc_id", k=20):
 
     Scale shape: the output is one row per token — the linear,
     embarrassingly-parallel exchange any substring-level pass must
-    pay; no shuffle happens here (pure project + generate)."""
-    words = F.split(normalized_text(F.col(text_col)), " ")
-    d = docs.select(F.col(id_col), words.alias("w"))
+    pay; no shuffle happens here (project + one vectorized Arrow
+    pass + generate). r06: the gram hashes come from the Python md5
+    twin (_py_norm_grams_md5 — bit-identical, see there) instead of
+    an interpreted slice/concat_ws/md5 HOF per gram; posexplode of
+    the returned array preserves (pos, gh) exactly, and a NULL text
+    yields a NULL array, which posexplode drops like the old NULL
+    transform."""
+
+    @pandas_udf("array<long>")
+    def gh_arr(norm: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if nt is None else _py_norm_grams_md5(nt, k)
+            for nt in norm])
+
+    norm = normalized_text(F.col(text_col))
+    d = docs.select(F.col(id_col),
+                    F.size(F.split(norm, " ")).alias("ntok"),
+                    gh_arr(norm).alias("gh_arr"))
     return d.select(
-        F.col(id_col), F.size("w").alias("ntok"),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0),
-                       F.greatest(F.size("w") - k, F.lit(0))),
-            lambda i: md5_hash28(
-                F.concat_ws(" ", F.slice("w", i + 1, k)))))
-        .alias("pos", "gh"))
+        F.col(id_col), "ntok",
+        F.posexplode("gh_arr").alias("pos", "gh"))
 
 
 def duplicated_spans(docs, text_col="text", id_col="doc_id", k=20,

@@ -166,7 +166,11 @@ PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
     "ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    # r06 correctness fix (ADVICE): separators are SPACES only (\s
+    # let newlines bridge unrelated digit runs — lists of years/IDs
+    # collapsed into one token) and the run is capped at 14 so the
+    # match stays phone-shaped
+    "phone": (r"\+?[0-9][0-9()\- ]{7,14}[0-9]"),
 }
 
 
@@ -294,8 +298,31 @@ def repetition_signals(docs, text_col="text", id_col="doc_id",
                                          F.col("nt").alias("text")),
                              text_col="text", id_col=id_col,
                              k=dup_ngram, scope="within_doc")
-    cov = spans.groupBy(id_col).agg(
-        F.sum("n_tokens").alias("cov_tokens"))
+    # r06 correctness fix (ADVICE): two marked islands whose gap is
+    # < k overlap after the k-1 span extension (e.g. 'a b a b a',
+    # k=3 -> spans [0,2] and [2,4]); summing n_tokens double-counts
+    # the overlapped tokens and the "fraction" can exceed 1.0.
+    # Coverage is now the size of the MERGED interval union —
+    # distinct covered positions, so overlapping repeats count once
+    # as documented. The merge windows run per doc over the span
+    # rows only (state scales with duplicated content, never the
+    # corpus).
+    from pyspark.sql import Window as _W
+    w_prev = (_W.partitionBy(id_col).orderBy("span_start")
+              .rowsBetween(_W.unboundedPreceding, -1))
+    w_run = (_W.partitionBy(id_col).orderBy("span_start")
+             .rowsBetween(_W.unboundedPreceding, 0))
+    sp = (spans
+          .withColumn("__prev_end", F.max("span_end").over(w_prev))
+          .withColumn("__new", F.when(
+              F.col("__prev_end").isNull()
+              | (F.col("span_start") > F.col("__prev_end")),
+              1).otherwise(0))
+          .withColumn("__grp", F.sum("__new").over(w_run)))
+    merged = sp.groupBy(id_col, "__grp").agg(
+        (F.max("span_end") - F.min("span_start") + 1).alias("__cov"))
+    cov = merged.groupBy(id_col).agg(
+        F.sum("__cov").alias("cov_tokens"))
     ntoks = base.select(F.col(id_col), F.size(words).alias("ntok"))
     dup_sig = (ntoks.join(cov, id_col, "left")
                .select(id_col,

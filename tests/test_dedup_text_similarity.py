@@ -866,6 +866,18 @@ def test_repetition_signals_dup_ngram_coverage(spark):
     assert sig.dup_5gram_token_frac[0] == pytest.approx(10 / 13)
 
 
+def test_repetition_signals_overlap_merged_once(spark):
+    """ADVICE r5 regression: marked islands whose gap is < k overlap
+    after the k-1 span extension ('a b a b a', k=3 -> spans [0,2]
+    and [2,4]); the coverage fraction must count the overlapped
+    tokens ONCE (1.0 here — the old span-length sum gave 6/5)."""
+    from pyshepseg_spark.operators.text import repetition_signals
+    pdf = pd.DataFrame({"doc_id": [0], "text": ["a b a b a"]})
+    sig = repetition_signals(spark.createDataFrame(pdf),
+                             dup_ngram=3).toPandas()
+    assert sig.dup_3gram_token_frac[0] == pytest.approx(1.0)
+
+
 def test_repetition_signals_cross_engine_random(spark):
     """Randomized multi-line texts: the full signal frame must match
     a DuckDB replay (line stats, deterministic top-ngram tie-break,
@@ -921,8 +933,23 @@ def test_repetition_signals_cross_engine_random(spark):
                        cnt * glen::DOUBLE
                            / greatest(tot_chars, 1) AS frac
                 FROM ranked WHERE rn = 1),
-        cov AS (SELECT doc_id, sum(n_tokens) AS cov_tokens
-                FROM spans GROUP BY doc_id),
+        sp2 AS (SELECT doc_id, span_start, span_end,
+                       max(span_end) OVER (
+                           PARTITION BY doc_id ORDER BY span_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+                FROM spans),
+        spg AS (SELECT *, sum(CASE WHEN prev_end IS NULL
+                                     OR span_start > prev_end
+                                   THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY doc_id ORDER BY span_start)
+                    AS g
+                FROM sp2),
+        mrg AS (SELECT doc_id,
+                       max(span_end) - min(span_start) + 1 AS cv
+                FROM spg GROUP BY doc_id, g),
+        cov AS (SELECT doc_id, sum(cv) AS cov_tokens
+                FROM mrg GROUP BY doc_id),
         base AS (SELECT DISTINCT doc_id FROM documents)
         SELECT b.doc_id,
                coalesce(ls.n_lines, 0) AS n_lines,

@@ -132,6 +132,53 @@ def test_cli_curate_end_to_end(tmp_path):
     assert set(kept.doc_id) == {0, 1, 2, 3, 4, 5, 9}
 
 
+def test_cli_curate_token_budget_audit_contract(tmp_path):
+    """ADVICE r5 regression: with --token-budget, docs cut by the
+    budget must carry an 'over_budget' drop reason with keep=false
+    in the audit — the contract is 'only keep=true docs land in
+    --out, every drop reason named'."""
+    import subprocess
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(400)]
+
+    def mkdoc(n=150):
+        ws = [str(w) for w in rng.choice(vocab, size=n)]
+        for i in range(0, n, 12):
+            ws[i] = "the"
+        return " ".join(ws)
+
+    pdf = pd.DataFrame({"doc_id": range(6),
+                        "text": [mkdoc() for _ in range(6)]})
+    docs = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "curated.parquet")
+    pdf.to_parquet(docs)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pyshepseg_spark.cli", "curate",
+         "--docs", docs, "--out", out, "--token-budget", "450"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    audit = duckdb.sql(
+        f"SELECT * FROM '{out}.audit/*.parquet' ORDER BY doc_id").df()
+    kept = set(duckdb.sql(
+        f"SELECT doc_id FROM '{out}/*.parquet'").df().doc_id)
+    assert len(audit) == 6
+    # 450-token budget keeps 3 of 6 150-token docs
+    assert len(kept) == 3
+    for row in audit.itertuples():
+        if row.doc_id in kept:
+            assert row.keep and list(row.drop_reasons) == []
+        else:
+            assert not row.keep
+            assert "over_budget" in list(row.drop_reasons)
+
+
 def test_cli_curate_with_benchmark_decontamination(tmp_path):
     """--benchmark drops docs sharing a 13-gram with the eval set,
     with reason 'contaminated' in the audit."""

@@ -1095,6 +1095,17 @@ def stitch(seg_tiles, cfg: SegConfig, with_histogram: bool = False,
     chain per image is unacceptable and reference-exactness is not
     required.
 
+    MEASURED decision rule (r06, 14592^2 = 5776 tiles, stage
+    decomposition in PERF.md): the sequential replay costs ~1.8-2.0
+    ms/tile of SERIAL mapping time (flat in cores — the Amdahl
+    term; 10-11.5 s at 5776 tiles whether 8 or 32 cores), while the
+    cc mapping is a distributed stage of ~7-15 s that scales with
+    cores (6.6-7.1 s at 32). Prefer mode="cc" when
+    tiles x ~1.9 ms exceeds the cc mapping stage time at your
+    parallelism — ~5k tiles/mosaic at 32 cores, earlier on larger
+    clusters; below that the kernel+paint phases dominate both
+    modes and the bitwise-exact sequential default is free.
+
     simple_recode=True is the reference's simpleTileRecode mode
     (tiling.py:1024-1030): every tile's local IDs are just offset to
     be globally unique; boundary segments are NOT merged across

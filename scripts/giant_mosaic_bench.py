@@ -121,6 +121,23 @@ images_spark_df(spark, 1, size={size}, fmt="raw_u16",
 spark.stop()
 """
 
+# r06: GIANT_DIRECT_TILES=1 generates the pre-tiled table per-tile
+# (imagegen.giant_tile_rows — bitwise the explode_tiles output,
+# parallel across tiles) WITHOUT the single-giant-row image parquet
+# whose one-task explode blocked the >= 5k-tile crossover run in r5.
+TILES_DIRECT_GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyshepseg_spark.session import get_spark
+from pyshepseg_spark.sources.imagegen import giant_tile_rows
+spark = get_spark(app_name="tilegen_direct", master="local[32]",
+                  shuffle_partitions=32)
+giant_tile_rows(spark, {size}, tile_size=256, overlap=64) \
+    .write.mode("overwrite").parquet({path!r})
+spark.stop()
+print("TILES OK")
+"""
+
 
 def run(code):
     p = subprocess.run([sys.executable, "-c", code], cwd=REPO,
@@ -169,13 +186,21 @@ def main():
     data_dir = os.environ.get("GIANT_DATA_DIR")
     ctx = (tempfile.TemporaryDirectory() if not data_dir
            else contextlib.nullcontext(data_dir))
+    direct = bool(os.environ.get("GIANT_DIRECT_TILES"))
     with ctx as td:
         os.makedirs(td, exist_ok=True)
         path = os.path.join(td, f"giant_{size}.parquet")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not direct and not os.path.exists(
+                os.path.join(path, "_SUCCESS")):
             run(GEN.format(repo=REPO, size=size, path=path))
         tiles_path = os.path.join(td, f"tiles_{size}.parquet")
-        if os.environ.get("GIANT_PRETILED") and not os.path.exists(
+        if direct:
+            # per-tile generation: no giant-single-row image parquet
+            if not os.path.exists(os.path.join(tiles_path,
+                                               "_SUCCESS")):
+                run(TILES_DIRECT_GEN.format(repo=REPO, size=size,
+                                            path=tiles_path))
+        elif os.environ.get("GIANT_PRETILED") and not os.path.exists(
                 os.path.join(tiles_path, "_SUCCESS")):
             run(TILES_GEN.format(repo=REPO, img_path=path,
                                  path=tiles_path))
@@ -183,7 +208,7 @@ def main():
             "GIANT_CORES", "8,32").split(",")]
         modes = os.environ.get("GIANT_MODES",
                                "sequential,cc").split(",")
-        pretiled = bool(os.environ.get("GIANT_PRETILED"))
+        pretiled = direct or bool(os.environ.get("GIANT_PRETILED"))
         times = {}     # (mode, cores) -> [sec per round]
         burns = []
         for rnd in range(rounds):

@@ -113,11 +113,21 @@ def main():
         sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")]
     mode = sys.argv[3] if len(sys.argv) > 3 else "sequential"
     reps = int(os.environ.get("GIANT_STAGE_REPS", "2"))
+    # r06: reuse a giant_mosaic_bench direct-tile fixture
+    # (GIANT_DATA_DIR/tiles_<size>.parquet) when present — the
+    # single-giant-row GEN path cannot build >= 5k-tile fixtures
+    # (r5 blocker; see imagegen.giant_tile_rows)
+    data_dir = os.environ.get("GIANT_DATA_DIR")
+    pre = (os.path.join(data_dir, f"tiles_{size}.parquet")
+           if data_dir else None)
     with tempfile.TemporaryDirectory() as td:
         img_path = os.path.join(td, "giant.parquet")
-        path = os.path.join(td, "tiles.parquet")
-        run(GEN.format(repo=REPO, size=size, img_path=img_path,
-                       path=path))
+        if pre and os.path.exists(os.path.join(pre, "_SUCCESS")):
+            path = pre
+        else:
+            path = os.path.join(td, "tiles.parquet")
+            run(GEN.format(repo=REPO, size=size, img_path=img_path,
+                           path=path))
         for cores in cores_list:
             rows = run(RUNNER.format(repo=REPO, path=path,
                                      cores=cores, mode=mode,

@@ -280,10 +280,23 @@ def minhash_lsh_pairs(signatures, id_col="doc_id", num_hashes=64,
 def ngram_jaccard_pairs(docs, cand_pairs, text_col="text",
                         id_col="doc_id", k=5, threshold=0.7):
     """Exact n-gram Jaccard verification of candidate pairs: join the
-    shingle sets back on both sides, intersect/union JVM-side."""
-    sh = docs.select(F.col(id_col),
-                     F.array_distinct(
-                         _shingles(text_col, k)).alias("sh"))
+    shingle sets back on both sides, intersect/union JVM-side.
+
+    r06: shingle sets are built only for docs that appear in a
+    candidate pair (semi-join prefilter) — the verify cost scales
+    with duplicates, not corpus (the same shape the ngram_jaccard
+    contract query uses). Exactly equivalent: docs outside every
+    candidate pair can never survive the inner joins on a/b.
+    cand_pairs is barriered first because it now feeds three
+    consumers (the id prefilter and both verify joins) and an
+    unbarriered LSH candidate join would re-run per consumer."""
+    cand_pairs = cand_pairs.localCheckpoint(eager=False)
+    ids = (cand_pairs.select(F.col("a").alias(id_col))
+           .union(cand_pairs.select(F.col("b").alias(id_col)))
+           .distinct())
+    sh = docs.join(ids, id_col, "left_semi").select(
+        F.col(id_col),
+        F.array_distinct(_shingles(text_col, k)).alias("sh"))
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     j = (cand_pairs.join(a, "a").join(b, "b")
@@ -391,6 +404,72 @@ def simhash_near_dups(sim, id_col="doc_id", max_hamming=3,
             .select("a", "b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+# Java regex \s (no UNICODE_CHARACTER_CLASS) = [ \t\n\x0B\f\r] — the
+# exact class Spark's split(col, "\\s+") compiles. re.split keeps
+# leading/trailing empty strings just like Java split with limit=-1
+# (Spark's default).
+_JAVA_WS_RUN = None
+
+
+def _py_lower_ws_grams(text: str, k: int) -> list[str]:
+    """DISTINCT word k-gram strings of ``lower(text)`` split on
+    Java-``\\s+`` — the exact Python twin of
+    ``array_distinct(transform(sequence(0, greatest(size(w)-k, 0)),
+    i -> concat_ws(' ', slice(w, i+1, k))))`` over
+    ``w = split(lower(text), '\\s+')``:
+
+    - ``str.lower()`` == JVM ``Lower`` for this engine's text inputs
+      (UTF8String.toLowerCase is the ASCII byte map on ASCII strings
+      and Locale.ROOT String.toLowerCase otherwise — identical to
+      Python's Unicode default case conversion on every BMP string
+      without locale-special forms; the parity test pins mixed-case
+      rows and the output A/B covers the corpus).
+    - the split pattern is Java's ASCII ``\\s`` class (NOT Python's
+      Unicode ``\\s``), and ``re.split`` keeps leading/trailing empty
+      tokens exactly like Java ``split(regex, -1)`` (Spark's
+      ``limit=-1`` default — '' yields [''], whole-text gram '').
+    - ``' '.join(words[i:i+k])`` == ``concat_ws(' ', slice(...))``
+      (slice truncates at the end; empty-string tokens are kept by
+      both, NULL tokens cannot occur in a split result).
+    - ``dict.fromkeys`` == ``array_distinct`` (first-occurrence
+      order; order is irrelevant to the set ops downstream anyway).
+    """
+    global _JAVA_WS_RUN
+    if _JAVA_WS_RUN is None:
+        import re
+        _JAVA_WS_RUN = re.compile("[ \t\n\x0b\f\r]+")
+    words = _JAVA_WS_RUN.split(text.lower())
+    upper = max(len(words) - k, 0)
+    return list(dict.fromkeys(
+        " ".join(words[i:i + k]) for i in range(upper + 1)))
+
+
+def word_gram_sets(docs, text_col="text", id_col="doc_id", k=3):
+    """(id, grams) with grams = DISTINCT word k-gram strings of the
+    lowered, Java-``\\s+``-split text — the verify-side gram builder
+    for exact n-gram Jaccard (one vectorized Arrow pass; the JVM form
+    is an interpreted transform + slice + concat_ws HOF chain per
+    gram with no codegen — the same cost center the md5 signature
+    twins removed, see _py_norm_grams_md5). NULL text yields ``['']``
+    exactly like the JVM chain: ``size(NULL) = -1`` (legacy
+    sizeOfNull) makes the index sequence ``[0]``, ``slice(NULL)`` is
+    NULL, and ``concat_ws`` SKIPS a NULL array argument, yielding
+    ``''`` — pinned by the parity test's NULL row.
+
+    Callers joining the result more than once (e.g. a verify join on
+    both pair sides) should barrier it (localCheckpoint) — Catalyst
+    re-inlines UDF projections per consumer and can push one copy
+    below an exchange (the r06 simhash lesson)."""
+
+    @pandas_udf("array<string>")
+    def grams(txt: pd.Series) -> pd.Series:
+        return pd.Series([
+            [""] if t is None else _py_lower_ws_grams(t, k)
+            for t in txt])
+
+    return docs.select(F.col(id_col), grams(F.col(text_col)).alias("grams"))
 
 
 def gram_positions_md5(docs, text_col="text", id_col="doc_id", k=20):

@@ -1328,3 +1328,42 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         spark.createDataFrame(full),
         spark.createDataFrame(bench)).collect())
     assert got == want == [1, 2, 3]
+
+
+def test_word_gram_sets_matches_jvm_hof(spark):
+    # r06 ngram_jaccard verify twin: word_gram_sets must reproduce
+    # array_distinct(transform(sequence(0, greatest(size(w)-k, 0)),
+    # i -> concat_ws(' ', slice(w, i+1, k)))) over
+    # w = split(lower(text), '\s+') EXACTLY (values AND first-
+    # occurrence order) on every whitespace/case/short-doc edge.
+    from pyshepseg_spark.operators.dedup import word_gram_sets
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "word"),
+        (3, "a b"),
+        (4, "a b c"),
+        (5, "a b c d"),
+        (6, "A B c D e F"),
+        (7, "Tabs\tand\nnewlines\x0bVT\fFF\rCR mix"),
+        (8, "  leading and trailing  "),
+        (9, "many     internal      spaces"),
+        (10, "x y z x y z x y z"),
+        (11, "rep rep rep rep rep rep rep"),
+        (12, "Héllo WÖRLD früh Über straße"),
+        (13, "punct, stays! as-is? (yes)"),
+        (14, " \t\n "),
+        (15, "one two three four five six seven eight nine ten"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (2, 3, 5):
+        words = F.split(F.lower(F.col("text")), r"\s+")
+        idx = F.sequence(F.lit(0),
+                         F.greatest(F.size(words) - k, F.lit(0)))
+        jvm = F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))))
+        want = {r["doc_id"]: r["g"]
+                for r in d.select("doc_id", jvm.alias("g")).collect()}
+        got = {r["doc_id"]: r["grams"]
+               for r in word_gram_sets(d, k=k).collect()}
+        assert got == want

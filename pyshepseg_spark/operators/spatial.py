@@ -53,7 +53,7 @@ def tile_for_point(xcol, ycol, tile_size, overlap, ntc, ntr):
 
 
 def point_in_segment(points, final_tiles, tile_size, overlap,
-                     salt: int = 16):
+                     salt: int = 16, grids=None):
     """Join each point (image_id, x, y, ...) to the segment covering
     it. Steps: grid arithmetic -> salted COGROUP on (image_id, tcol,
     trow, salt) -> vectorized raster probe.
@@ -65,10 +65,20 @@ def point_in_segment(points, final_tiles, tile_size, overlap,
     parallel tasks. Cogrouping (not joining) keeps the raster out of
     the per-point rows: each task receives the tile bytes ONCE plus
     its point batch — the shuffle is |points| + salt * |tiles|,
-    never |points| x |raster|."""
-    grids = final_tiles.groupBy("image_id").agg(
-        (F.max("tcol") + 1).alias("ntc"),
-        (F.max("trow") + 1).alias("ntr"))
+    never |points| x |raster|.
+
+    ``grids``: optional (image_id, ntc, ntr) frame with the tile-grid
+    dimensions per image. When the caller knows them in closed form
+    (tiling.tile_grid arithmetic over each image's w/h — the same
+    recurrence that produced final_tiles), passing them avoids the
+    default derivation below, which aggregates over final_tiles and
+    therefore re-runs its full producing plan (paint + stitch-mapping
+    mapInPandas kernels — column pruning cannot reach inside a Python
+    kernel) once more per consumer."""
+    if grids is None:
+        grids = final_tiles.groupBy("image_id").agg(
+            (F.max("tcol") + 1).alias("ntc"),
+            (F.max("trow") + 1).alias("ntr"))
     # no forced broadcast: grids is one row PER IMAGE — at 10^12
     # images a forced broadcast is a driver OOM; AQE broadcasts it
     # when genuinely small

@@ -132,6 +132,31 @@ def test_point_in_segment_exact(spark, images_fixture, final_tiles,
             assert seg[int(r.y), int(r.x)] == r.seg_id
 
 
+def test_point_in_segment_grids_param(spark, images_fixture,
+                                      final_tiles, cfg):
+    """r06: a caller-supplied closed-form (image_id, ntc, ntr) frame
+    must give the exact same answers as the default derivation that
+    aggregates over final_tiles (which re-runs the paint kernel)."""
+    from pyshepseg_spark.operators.tiling import tile_grid
+    pdf, _, _ = images_fixture
+    pts = pd.concat([caption_points(r.image_id, r.caption, r.w, r.h)
+                     for r in pdf.itertuples()], ignore_index=True)
+    points = spark.createDataFrame(pts)
+    grids = spark.createDataFrame(pd.DataFrame([
+        {"image_id": r.image_id,
+         "ntc": tile_grid(r.w, r.h, cfg.tile_size, cfg.overlap)[1],
+         "ntr": tile_grid(r.w, r.h, cfg.tile_size, cfg.overlap)[2]}
+        for r in pdf.itertuples()]))
+    key = ["image_id", "point_id"]
+    default = point_in_segment(points, final_tiles, cfg.tile_size,
+                               cfg.overlap).toPandas() \
+        .sort_values(key, ignore_index=True)
+    closed = point_in_segment(points, final_tiles, cfg.tile_size,
+                              cfg.overlap, grids=grids).toPandas() \
+        .sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(default, closed)
+
+
 def test_knn_matches_brute_force(spark, images_fixture, final_tiles):
     pdf, _, _ = images_fixture
     pts = pd.concat([caption_points(r.image_id, r.caption, r.w, r.h,
